@@ -1,0 +1,230 @@
+"""Segment (scatter) reductions with torch-scatter-compatible semantics.
+
+These are the TPU-native replacement for the reference's only native
+dependency, the torch-scatter CUDA kernels (reference:
+ptgnn/neuralmodels/gnn/messagepassing/abstractmessagepassing.py:38-50,
+ptgnn/neuralmodels/reduceops/varsizedsummary.py:7,
+ptgnn/neuralmodels/sequence/grucopydecoder.py:9-10). Semantics matched:
+
+* every reduction returns 0 for segments that receive no elements
+  (torch-scatter initializes outputs with zeros / masked-fills untouched
+  entries), EXCEPT ``segment_logsumexp`` which returns -inf for empty
+  segments (eps=0 semantics, relied upon by the copy-decoder loss);
+* ``segment_mean`` divides by max(count, 1);
+* low-precision inputs (bf16/f16) are accumulated in float32 and cast back,
+  mirroring the reference's AMP-safety cast.
+
+All ops take a ``num_segments`` static int (XLA needs static shapes) and an
+optional boolean ``mask`` marking valid elements: padding edges/nodes in our
+statically shaped batches are simply masked out here, which is how ragged
+graphs become XLA-friendly. Out-of-range segment ids (>= num_segments) are
+dropped, so padding can alternatively point at segment id ``num_segments``.
+
+XLA's gather/scatter lowers these well on TPU already; the Pallas
+sorted-segment kernels in ``ptgnn_tpu.ops.pallas`` are the performance path
+for the hot message-aggregation case and are verified against these.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_LOW_PRECISION = (jnp.bfloat16, jnp.float16)
+
+
+def _expand_mask(mask: jax.Array, data: jax.Array) -> jax.Array:
+    """Broadcast a [E] bool mask against [E, ...] data."""
+    extra = data.ndim - mask.ndim
+    if extra > 0:
+        mask = mask.reshape(mask.shape + (1,) * extra)
+    return mask
+
+
+def _promote(data: jax.Array):
+    if data.dtype in _LOW_PRECISION:
+        return data.astype(jnp.float32), data.dtype
+    return data, None
+
+
+def segment_sum(
+    data: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    data, orig = _promote(data)
+    if mask is not None:
+        data = jnp.where(_expand_mask(mask, data), data, jnp.zeros((), data.dtype))
+    out = jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+    return out.astype(orig) if orig is not None else out
+
+
+def segment_count(
+    segment_ids: jax.Array,
+    num_segments: int,
+    mask: Optional[jax.Array] = None,
+    dtype=jnp.int32,
+) -> jax.Array:
+    ones = jnp.ones(segment_ids.shape, dtype)
+    if mask is not None:
+        ones = jnp.where(mask, ones, jnp.zeros((), dtype))
+    return jax.ops.segment_sum(ones, segment_ids, num_segments=num_segments)
+
+
+def segment_mean(
+    data: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    data, orig = _promote(data)
+    total = segment_sum(data, segment_ids, num_segments, mask)
+    count = segment_count(segment_ids, num_segments, mask, dtype=data.dtype)
+    count = jnp.maximum(count, jnp.ones((), data.dtype))
+    out = total / count.reshape(count.shape + (1,) * (total.ndim - count.ndim))
+    return out.astype(orig) if orig is not None else out
+
+
+def _segment_extremum(data, segment_ids, num_segments, mask, kind: str, empty_fill):
+    work = data.astype(jnp.float32) if data.dtype in _LOW_PRECISION else data
+    if jnp.issubdtype(work.dtype, jnp.integer):
+        info = jnp.iinfo(work.dtype)
+        neutral = info.min if kind == "max" else info.max
+    else:
+        neutral = -jnp.inf if kind == "max" else jnp.inf
+    if mask is not None:
+        work = jnp.where(_expand_mask(mask, work), work, jnp.full((), neutral, work.dtype))
+    if kind == "max":
+        out = jax.ops.segment_max(work, segment_ids, num_segments=num_segments)
+    else:
+        out = jax.ops.segment_min(work, segment_ids, num_segments=num_segments)
+    if empty_fill is not None:
+        count = segment_count(segment_ids, num_segments, mask)
+        fill = jnp.full((), empty_fill, out.dtype)
+        cnt = count.reshape(count.shape + (1,) * (out.ndim - count.ndim))
+        out = jnp.where(cnt > 0, out, fill)
+    return out.astype(data.dtype)
+
+
+def segment_max(
+    data: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    mask: Optional[jax.Array] = None,
+    empty_fill: Optional[float] = 0.0,
+) -> jax.Array:
+    """Per-segment max; empty segments get ``empty_fill`` (torch-scatter: 0)."""
+    return _segment_extremum(data, segment_ids, num_segments, mask, "max", empty_fill)
+
+
+def segment_min(
+    data: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    mask: Optional[jax.Array] = None,
+    empty_fill: Optional[float] = 0.0,
+) -> jax.Array:
+    return _segment_extremum(data, segment_ids, num_segments, mask, "min", empty_fill)
+
+
+def segment_reduce(
+    data: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    reduction: str,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Generic entry point mirroring torch_scatter.scatter(reduce=...)."""
+    if reduction == "sum" or reduction == "add":
+        return segment_sum(data, segment_ids, num_segments, mask)
+    if reduction == "mean":
+        return segment_mean(data, segment_ids, num_segments, mask)
+    if reduction == "max":
+        return segment_max(data, segment_ids, num_segments, mask)
+    if reduction == "min":
+        return segment_min(data, segment_ids, num_segments, mask)
+    raise ValueError(f"Unknown reduction '{reduction}'")
+
+
+def segment_logsumexp(
+    data: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Numerically stable per-segment logsumexp; empty segments -> -inf.
+
+    Matches torch_scatter.composite.scatter_logsumexp with eps=0, which the
+    reference copy decoder relies on to exclude impossible copy actions
+    (reference: ptgnn/neuralmodels/sequence/grucopydecoder.py:122-124,190-196).
+    Inputs equal to -inf (impossible actions) are handled exactly.
+    """
+    data, orig = _promote(data)
+    # Finite shift: empty/all -inf segments get shift 0.
+    shift = _segment_extremum(data, segment_ids, num_segments, mask, "max", 0.0)
+    shift = jnp.where(jnp.isfinite(shift), shift, jnp.zeros((), data.dtype))
+    shift = jax.lax.stop_gradient(shift)
+    shifted = data - shift[segment_ids]
+    # exp(-inf - 0) = 0 handles -inf scores; guard NaN from (-inf) - (-inf).
+    expd = jnp.where(jnp.isnan(shifted), jnp.zeros((), data.dtype), jnp.exp(shifted))
+    if mask is not None:
+        expd = jnp.where(_expand_mask(mask, expd), expd, jnp.zeros((), data.dtype))
+    denom = jax.ops.segment_sum(expd, segment_ids, num_segments=num_segments)
+    out = jnp.log(denom) + shift
+    return out.astype(orig) if orig is not None else out
+
+
+def segment_log_softmax(
+    data: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Per-segment log-softmax (torch_scatter scatter_log_softmax, eps=0).
+
+    Masked-out entries return -inf.
+    """
+    data, orig = _promote(data)
+    lse = segment_logsumexp(data, segment_ids, num_segments, mask)
+    out = data - lse[segment_ids]
+    if mask is not None:
+        out = jnp.where(
+            _expand_mask(mask, out), out, jnp.full((), -jnp.inf, out.dtype)
+        )
+    return out.astype(orig) if orig is not None else out
+
+
+def segment_softmax(
+    data: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    out = jnp.exp(segment_log_softmax(data, segment_ids, num_segments, mask))
+    if mask is not None:
+        out = jnp.where(_expand_mask(mask, out), out, jnp.zeros((), out.dtype))
+    return out
+
+
+def segment_argmax(
+    data: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Index (into ``data``) of the per-segment max; empty segments -> len(data).
+
+    Matches torch_scatter.scatter_max's argmax output enough for the
+    reference's accuracy metrics (ties resolve to the first occurrence).
+    1D data only.
+    """
+    assert data.ndim == 1
+    n = data.shape[0]
+    maxes = segment_max(data, segment_ids, num_segments, mask, empty_fill=None)
+    is_max = data == maxes[segment_ids]
+    if mask is not None:
+        is_max = jnp.logical_and(is_max, mask)
+    idxs = jnp.where(is_max, jnp.arange(n, dtype=jnp.int32), jnp.full((), n, jnp.int32))
+    return segment_min(idxs, segment_ids, num_segments, mask=None, empty_fill=n)
