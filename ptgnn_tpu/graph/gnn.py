@@ -1,0 +1,351 @@
+"""The message-passing GNN engine and its host-side model.
+
+Mirrors the reference split (graphneuralnetwork.py:28-209 module,
+:218-495 model) with the TPU-first changes documented in graph/structs.py:
+the module is a pure function over a statically shaped GraphBatch; backwards
+and self edges are materialized by the batcher; residual layers compose
+functionally through an explicit stash; edge dropout is one bernoulli mask
+over the fused edge array.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable, Dict, List, Optional, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ptgnn_tpu.core.data import enforce_not_None
+from ptgnn_tpu.core.model import AbstractNeuralModel
+from ptgnn_tpu.graph.batching import GraphBatcher
+from ptgnn_tpu.graph.messagepassing.base import AbstractMessagePassingLayer, GraphContext
+from ptgnn_tpu.graph.messagepassing.residual import AbstractResidualLayer, _ResidualOriginLayer
+from ptgnn_tpu.graph.structs import (
+    BatchPadding,
+    GnnOutput,
+    GraphBatch,
+    GraphData,
+    TensorizedGraphData,
+)
+from ptgnn_tpu.nn.module import Module, Params, fold
+
+LOGGER = logging.getLogger(__name__)
+
+
+class GraphNeuralNetwork(Module):
+    """A generic message-passing GNN with discrete edge types (functional)."""
+
+    def __init__(
+        self,
+        message_passing_layers: List[AbstractMessagePassingLayer],
+        node_embedder: Module,
+        edge_dropout_rate: float = 0.0,
+        edge_feature_embedder: Optional[Module] = None,
+    ):
+        assert 0 <= edge_dropout_rate < 1
+        self.message_passing_layers = message_passing_layers
+        self.node_embedder = node_embedder
+        self.edge_dropout_rate = edge_dropout_rate
+        self.edge_feature_embedder = edge_feature_embedder
+
+    @property
+    def input_node_state_dim(self) -> int:
+        return self.message_passing_layers[0].input_state_dimension
+
+    @property
+    def output_node_state_dim(self) -> int:
+        return self.message_passing_layers[-1].output_state_dimension
+
+    def init(self, key: jax.Array) -> Params:
+        keys = jax.random.split(key, len(self.message_passing_layers) + 2)
+        params: Params = {
+            "node_embedder": self.node_embedder.init(keys[0]),
+            "mp_layers": [
+                layer.init(k) for layer, k in zip(self.message_passing_layers, keys[2:])
+            ],
+        }
+        if self.edge_feature_embedder is not None:
+            params["edge_embedder"] = self.edge_feature_embedder.init(keys[1])
+        return params
+
+    def gnn(
+        self,
+        params: Params,
+        node_representations: jax.Array,
+        ctx: GraphContext,
+        *,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+        return_all_states: bool = False,
+    ) -> jax.Array:
+        """Run the MP layer stack (reference: graphneuralnetwork.py:83-134)."""
+        if self.edge_dropout_rate > 0 and train:
+            keep = jax.random.bernoulli(
+                fold(rng, 7919), 1.0 - self.edge_dropout_rate, ctx.adjacency.mask.shape
+            )
+            adj = ctx.adjacency._replace(mask=jnp.logical_and(ctx.adjacency.mask, keep))
+            ctx = ctx._replace(adjacency=adj)
+
+        all_states = [node_representations]
+        stash: Dict[int, jax.Array] = {}
+        for i, layer in enumerate(self.message_passing_layers):
+            layer_params = params["mp_layers"][i]
+            layer_rng = fold(rng, i)
+            if isinstance(layer, _ResidualOriginLayer):
+                stash[id(layer.target_layer)] = node_representations
+            elif isinstance(layer, AbstractResidualLayer):
+                original = stash.pop(id(layer))
+                node_representations = layer.combine(
+                    layer_params, original, node_representations, train=train, rng=layer_rng
+                )
+            else:
+                node_representations = layer.apply(
+                    layer_params, node_representations, ctx, train=train, rng=layer_rng
+                )
+            all_states.append(node_representations)
+        if return_all_states:
+            node_representations = jnp.concatenate(all_states, axis=-1)
+        return node_representations
+
+    def apply(
+        self,
+        params: Params,
+        batch: GraphBatch,
+        *,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+        return_all_states: bool = False,
+    ) -> Tuple[GnnOutput, Dict[str, Any]]:
+        """Returns (GnnOutput, metric accumulators)."""
+        initial = self.node_embedder.apply(
+            params["node_embedder"], **batch.node_data, train=train, rng=fold(rng, 104729)
+        )  # [N_pad, D]
+
+        edge_features = None
+        if self.edge_feature_embedder is not None and batch.edge_feature_data is not None:
+            edge_features = self.edge_feature_embedder.apply(
+                params["edge_embedder"], **batch.edge_feature_data,
+                train=train, rng=fold(rng, 104730),
+            )
+
+        ctx = GraphContext(
+            adjacency=batch.adjacency,
+            edge_features=edge_features,
+            node_graph=batch.node_graph,
+            node_mask=batch.node_mask,
+            graph_mask=batch.graph_mask,
+            references=batch.references,
+        )
+        output = self.gnn(
+            params, initial, ctx, train=train, rng=rng, return_all_states=return_all_states
+        )
+        metrics = {
+            "num_graphs": batch.num_graphs,
+            "num_nodes": batch.num_nodes,
+            "num_edges": batch.num_edges,
+        }
+        gnn_out = GnnOutput(
+            input_node_representations=initial,
+            output_node_representations=output,
+            node_to_graph_idx=batch.node_graph,
+            node_mask=batch.node_mask,
+            node_idx_references={n: r.node_ids for n, r in batch.references.items()},
+            node_graph_idx_reference={n: r.graph_ids for n, r in batch.references.items()},
+            reference_masks={n: r.mask for n, r in batch.references.items()},
+            num_graphs=batch.num_graphs,
+            graph_mask=batch.graph_mask,
+        )
+        return gnn_out, metrics
+
+
+class GraphNeuralNetworkModel(AbstractNeuralModel):
+    """Tensorization + static batching for graphs (reference:
+    graphneuralnetwork.py:218-495)."""
+
+    def __init__(
+        self,
+        *,
+        node_representation_model: AbstractNeuralModel,
+        message_passing_layer_creator: Callable[[int], List[AbstractMessagePassingLayer]],
+        padding: BatchPadding,
+        max_nodes_per_graph: int = 80000,
+        max_graph_edges: int = 100000,
+        introduce_backwards_edges: bool = True,
+        stop_extending_minibatch_after_num_nodes: Optional[int] = None,
+        add_self_edges: bool = False,
+        edge_dropout_rate: float = 0.0,
+        edge_representation_model: Optional[AbstractNeuralModel] = None,
+    ):
+        super().__init__()
+        self.__message_passing_layers_creator = message_passing_layer_creator
+        self.__node_embedding_model = node_representation_model
+        self.__edge_embedding_model = edge_representation_model
+        self.padding = padding
+        self.max_nodes_per_graph = min(max_nodes_per_graph, padding.max_nodes)
+        self.max_graph_edges = max_graph_edges
+        self.introduce_backwards_edges = introduce_backwards_edges
+        self.stop_extending_minibatch_after_num_nodes = (
+            stop_extending_minibatch_after_num_nodes
+            if stop_extending_minibatch_after_num_nodes is not None
+            else padding.max_nodes
+        )
+        self.add_self_edges = add_self_edges
+        self.edge_dropout_rate = edge_dropout_rate
+        if edge_representation_model is not None:
+            raise NotImplementedError(
+                "edge feature embedders land with the edge-features milestone"
+            )
+
+    @property
+    def node_embedding_model(self) -> AbstractNeuralModel:
+        return self.__node_embedding_model
+
+    # ---- metadata (reference: graphneuralnetwork.py:261-290) ----
+    def initialize_metadata(self) -> None:
+        self.__edge_types_mdata: Set[str] = set()
+        self.__reference_names_mdata: Set[str] = set()
+
+    def update_metadata_from(self, datapoint: GraphData) -> None:
+        for node in datapoint.node_information:
+            self.__node_embedding_model.update_metadata_from(node)
+        for edge_type in datapoint.edges:
+            self.__edge_types_mdata.add(edge_type)
+        for name in datapoint.reference_nodes:
+            self.__reference_names_mdata.add(name)
+
+    def finalize_metadata(self) -> None:
+        LOGGER.info("Found %s edge types in data.", len(self.__edge_types_mdata))
+        # Sorted for run-to-run determinism (the reference uses set order).
+        self.__edge_idx_to_type = tuple(sorted(self.__edge_types_mdata))
+        self.__edge_types = {e: i for i, e in enumerate(self.__edge_idx_to_type)}
+        self.__reference_names = tuple(sorted(self.__reference_names_mdata))
+        del self.__edge_types_mdata
+        del self.__reference_names_mdata
+
+    @property
+    def _num_edge_types(self) -> int:
+        num_types = len(self.__edge_types)
+        if self.introduce_backwards_edges:
+            num_types *= 2
+        if self.add_self_edges:
+            num_types += 1
+        return num_types
+
+    @property
+    def edge_type_names(self) -> Tuple[str, ...]:
+        return self.__edge_idx_to_type
+
+    @property
+    def reference_names(self) -> Tuple[str, ...]:
+        return self.__reference_names
+
+    def edge_idx_by_name(self, name: str) -> int:
+        return self.__edge_types[name]
+
+    def set_reference_names(self, names) -> None:
+        """Extend the static reference-name set (for references only present
+        at tensorize time, not in metadata)."""
+        self.__reference_names = tuple(sorted(set(self.__reference_names) | set(names)))
+
+    def build_neural_module(self) -> GraphNeuralNetwork:
+        gnn = GraphNeuralNetwork(
+            self.__message_passing_layers_creator(self._num_edge_types),
+            node_embedder=self.__node_embedding_model.build_neural_module(),
+            edge_dropout_rate=self.edge_dropout_rate,
+            edge_feature_embedder=None,
+        )
+        del self.__message_passing_layers_creator
+        return gnn
+
+    def _make_batcher(self) -> GraphBatcher:
+        return GraphBatcher(
+            num_fwd_edge_types=len(self.__edge_types),
+            padding=self.padding,
+            introduce_backwards_edges=self.introduce_backwards_edges,
+            add_self_edges=self.add_self_edges,
+        )
+
+    # ---- tensorization (reference: graphneuralnetwork.py:314-367) ----
+    def __iterate_edge_types(self, data: GraphData):
+        for edge_type in self.__edge_idx_to_type:
+            adjacency_list = data.edges.get(edge_type)
+            if adjacency_list is not None and len(adjacency_list) > 0:
+                adj = np.array(adjacency_list, dtype=np.int32)
+                yield adj[:, 0], adj[:, 1]
+            else:
+                yield np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int32)
+
+    def tensorize(self, datapoint: GraphData) -> Optional[TensorizedGraphData]:
+        if len(datapoint.node_information) > self.max_nodes_per_graph:
+            LOGGER.warning("Dropping graph with %s nodes.", len(datapoint.node_information))
+            return None
+
+        tensorized = TensorizedGraphData(
+            adjacency_lists=list(self.__iterate_edge_types(datapoint)),
+            node_tensorized_data=[
+                enforce_not_None(self.__node_embedding_model.tensorize(ni))
+                for ni in datapoint.node_information
+            ],
+            edge_features=None,
+            reference_nodes={
+                n: np.array(refs, dtype=np.int32) for n, refs in datapoint.reference_nodes.items()
+            },
+            num_nodes=len(datapoint.node_information),
+        )
+        num_edges = tensorized.num_edges
+        if num_edges > self.max_graph_edges:
+            LOGGER.warning("Dropping graph with %s edges.", num_edges)
+            return None
+        # Must also fit an empty static batch on its own.
+        batcher = self._make_batcher()
+        if not batcher.can_add(tensorized, batcher.initialize()):
+            LOGGER.warning(
+                "Dropping graph (%s nodes / %s edges) exceeding static batch budgets.",
+                tensorized.num_nodes,
+                num_edges,
+            )
+            return None
+        return tensorized
+
+    # ---- minibatching ----
+    def initialize_minibatch(self) -> Dict[str, Any]:
+        return {
+            "batcher": self._make_batcher(),
+            "batcher_mb": None,  # created lazily below to keep dict picklable
+            "node_data_mb": self.__node_embedding_model.initialize_minibatch(),
+        }
+
+    def _batcher_mb(self, partial_minibatch: Dict[str, Any]) -> Dict[str, Any]:
+        if partial_minibatch["batcher_mb"] is None:
+            partial_minibatch["batcher_mb"] = partial_minibatch["batcher"].initialize()
+        return partial_minibatch["batcher_mb"]
+
+    def can_add_to_minibatch(self, tensorized: TensorizedGraphData, partial_minibatch) -> bool:
+        return partial_minibatch["batcher"].can_add(
+            tensorized, self._batcher_mb(partial_minibatch)
+        )
+
+    def extend_minibatch_with(self, tensorized: TensorizedGraphData, partial_minibatch) -> bool:
+        continue_extending = True
+        for node_info in tensorized.node_tensorized_data:
+            continue_extending &= self.__node_embedding_model.extend_minibatch_with(
+                node_info, partial_minibatch["node_data_mb"]
+            )
+        mb = self._batcher_mb(partial_minibatch)
+        partial_minibatch["batcher"].extend(tensorized, mb)
+        continue_extending &= (
+            mb["num_nodes_in_mb"] < self.stop_extending_minibatch_after_num_nodes
+        )
+        return continue_extending
+
+    def finalize_minibatch(self, accumulated_minibatch_data: Dict[str, Any]) -> Dict[str, Any]:
+        node_data = self.__node_embedding_model.finalize_minibatch(
+            accumulated_minibatch_data["node_data_mb"], pad_to=self.padding.max_nodes
+        )
+        batch = accumulated_minibatch_data["batcher"].finalize(
+            self._batcher_mb(accumulated_minibatch_data),
+            node_data=node_data,
+            reference_names=self.__reference_names,
+        )
+        return {"batch": batch}

@@ -1,0 +1,81 @@
+"""Message-passing layer interface over the fused, type-blocked edge layout.
+
+The reference interface passes per-type adjacency lists and Python-loops over
+them (abstractmessagepassing.py:8-60); here a layer receives one
+``GraphContext`` holding the fused AdjacencyStruct plus per-graph structure,
+and aggregates with the masked segment ops (the torch-scatter replacement).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+
+from ptgnn_tpu.nn.module import Module, Params
+from ptgnn_tpu.ops.segment import segment_reduce
+from ptgnn_tpu.graph.structs import AdjacencyStruct, ReferenceSet
+
+
+class GraphContext(NamedTuple):
+    """Everything a message-passing layer may need besides node states."""
+
+    adjacency: AdjacencyStruct
+    edge_features: Optional[Any]  # [E_pad, F] or None
+    node_graph: Any  # [N_pad] int32 (padding -> max_graphs, dropped)
+    node_mask: Any  # [N_pad] bool
+    graph_mask: Any  # [G_pad] bool
+    references: Dict[str, ReferenceSet]
+
+    @property
+    def max_graphs(self) -> int:
+        return self.graph_mask.shape[0]
+
+
+class AbstractMessagePassingLayer(Module):
+    """apply(params, node_states [N,D], ctx) -> [N, D'] output node states."""
+
+    def apply(
+        self,
+        params: Params,
+        node_states: jax.Array,
+        ctx: GraphContext,
+        *,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        raise NotImplementedError
+
+    def _aggregate_messages(
+        self,
+        messages: jax.Array,
+        ctx: GraphContext,
+        num_nodes: int,
+        aggregation_fn: str,
+    ) -> jax.Array:
+        """Masked segment reduce to receivers; fp32 accumulation for low
+        precision inputs (mirrors abstractmessagepassing.py:38-50)."""
+        return segment_reduce(
+            messages,
+            ctx.adjacency.receivers,
+            num_segments=num_nodes,
+            reduction=aggregation_fn,
+            mask=ctx.adjacency.mask,
+        )
+
+    @property
+    def input_state_dimension(self) -> int:
+        raise NotImplementedError
+
+    @property
+    def output_state_dimension(self) -> int:
+        raise NotImplementedError
+
+
+class AbstractMessageAggregation(Module):
+    """Pluggable aggregation (reference: abstractmessagepassing.py:63-70)."""
+
+    def apply(self, params: Params, messages: jax.Array, ctx: GraphContext, num_nodes: int):
+        raise NotImplementedError
+
+    def output_state_size(self, message_input_size: int) -> int:
+        raise NotImplementedError

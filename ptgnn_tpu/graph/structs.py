@@ -1,0 +1,189 @@
+"""Graph containers: raw, tensorized, and the statically shaped device batch.
+
+Raw/tensorized mirror the reference (ptgnn/neuralmodels/gnn/structs.py:12-49).
+The device-side ``GraphBatch`` is the central TPU-first redesign: instead of
+ragged per-edge-type adjacency lists concatenated to arbitrary sizes (which
+would force an XLA recompile per batch), many small graphs are flattened into
+ONE padded disconnected graph with
+
+* a fused, **type-blocked** edge array: edges sorted by edge type, each
+  type's segment padded up to a multiple of ``edge_tile`` so that every
+  tile of ``edge_tile`` consecutive edges has a single edge type
+  (``tile_types``). Per-edge-type linear maps then become one batched
+  matmul over tiles (MXU-friendly), replacing the reference's Python loop
+  over edge types (gatedmessagepassing.py:50-61);
+* padding edges with ``receivers == num node slots`` (dropped by segment
+  ops) and an explicit ``edge_mask``;
+* padding nodes with ``node_graph == num graph slots`` and ``node_mask``;
+* fixed budgets (``BatchPadding``) so every batch of a configuration has
+  the exact same shapes -> a single compiled executable.
+
+Backwards edges (type id T+t) and self edges (last type id) are materialized
+host-side at batch build (the reference builds them per forward pass,
+graphneuralnetwork.py:172-186 — device-side list surgery is hostile to XLA).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Generic, List, NamedTuple, Optional, Tuple, TypeVar
+
+import numpy as np
+
+TNodeData = TypeVar("TNodeData")
+TEdgeData = TypeVar("TEdgeData")
+TTensorizedNodeData = TypeVar("TTensorizedNodeData")
+TTensorizedEdgeData = TypeVar("TTensorizedEdgeData")
+
+
+class GraphData(Generic[TNodeData, TEdgeData]):
+    """One raw graph: node payloads, per-edge-type adjacency, named reference
+    node sets (reference: structs.py:12-25)."""
+
+    __slots__ = ("node_information", "edges", "edge_features", "reference_nodes")
+
+    def __init__(
+        self,
+        node_information: List[TNodeData],
+        edges: Dict[str, List[Tuple[int, int]]],
+        reference_nodes: Dict[str, List[int]],
+        edge_features: Optional[Dict[str, List[TEdgeData]]] = None,
+    ):
+        self.node_information = node_information
+        self.edges = edges
+        self.edge_features = edge_features
+        self.reference_nodes = reference_nodes
+
+
+class TensorizedGraphData(Generic[TTensorizedNodeData, TTensorizedEdgeData]):
+    """One tensorized graph with per-type (src, dst) numpy pairs in canonical
+    metadata order (reference: structs.py:28-49)."""
+
+    __slots__ = (
+        "num_nodes",
+        "node_tensorized_data",
+        "adjacency_lists",
+        "edge_features",
+        "reference_nodes",
+    )
+
+    def __init__(
+        self,
+        num_nodes: int,
+        node_tensorized_data: List[TTensorizedNodeData],
+        adjacency_lists: List[Tuple[np.ndarray, np.ndarray]],
+        edge_features: Optional[List[List[TTensorizedEdgeData]]],
+        reference_nodes: Dict[str, np.ndarray],
+    ):
+        self.num_nodes = num_nodes
+        self.node_tensorized_data = node_tensorized_data
+        self.adjacency_lists = adjacency_lists
+        self.edge_features = edge_features
+        self.reference_nodes = reference_nodes
+
+    @property
+    def num_edges(self) -> int:
+        return sum(len(src) for src, _ in self.adjacency_lists)
+
+
+@dataclass(frozen=True)
+class BatchPadding:
+    """Static shape budgets for one batch configuration.
+
+    ``max_edge_slots`` counts *materialized* edge slots: forward types plus
+    (if enabled) backward types, each type segment rounded up to a multiple
+    of ``edge_tile``. Self edges get their own extra segment of
+    ``max_nodes`` slots and are not counted here.
+    """
+
+    max_nodes: int
+    max_edge_slots: int
+    max_graphs: int
+    edge_tile: int = 128
+    # (name, budget) pairs for reference-node sets; names not listed get
+    # DEFAULT_REFERENCE_BUDGET slots.
+    reference_budgets: Tuple[Tuple[str, int], ...] = field(default_factory=tuple)
+    default_reference_budget: int = 512
+
+    def reference_budget(self, name: str) -> int:
+        for n, b in self.reference_budgets:
+            if n == name:
+                return b
+        return self.default_reference_budget
+
+
+class ReferenceSet(NamedTuple):
+    """A padded named reference-node set."""
+
+    node_ids: Any  # [R_pad] int32, indices into flattened node slots
+    graph_ids: Any  # [R_pad] int32, graph slot per reference
+    mask: Any  # [R_pad] bool
+
+
+class AdjacencyStruct(NamedTuple):
+    """The fused, type-blocked edge structure of a flattened batch.
+
+    All fields are arrays so the struct is a plain jit-able pytree; static
+    quantities (edge tile size) are derived from shapes.
+    """
+
+    senders: Any  # [E_pad] int32 (padding: 0)
+    receivers: Any  # [E_pad] int32 (padding: max_nodes -> dropped by segment ops)
+    edge_types: Any  # [E_pad] int32
+    tile_types: Any  # [E_pad // edge_tile] int32 (single type per tile)
+    mask: Any  # [E_pad] bool
+
+    @property
+    def edge_tile(self) -> int:
+        return self.senders.shape[0] // self.tile_types.shape[0]
+
+
+class GraphBatch(NamedTuple):
+    """A statically shaped flattened minibatch of graphs (device pytree)."""
+
+    node_data: Any  # pytree of [max_nodes, ...] arrays for the node embedder
+    adjacency: AdjacencyStruct
+    edge_feature_data: Any  # pytree of [E_pad, ...] arrays or None
+    node_graph: Any  # [max_nodes] int32 (padding: max_graphs -> dropped)
+    node_mask: Any  # [max_nodes] bool
+    references: Dict[str, ReferenceSet]
+    num_nodes: Any  # scalar int32 (actual count)
+    num_edges: Any  # scalar int32 (actual count, incl. materialized bwd/self)
+    num_graphs: Any  # scalar int32 (actual count)
+    graph_mask: Any  # [max_graphs] bool
+
+    @property
+    def max_nodes(self) -> int:
+        return self.node_graph.shape[0]
+
+    @property
+    def max_graphs(self) -> int:
+        return self.graph_mask.shape[0]
+
+
+class GnnOutput(NamedTuple):
+    """Output of the GNN engine (reference: structs.py:52-76), plus masks."""
+
+    input_node_representations: Any  # [max_nodes, D]
+    output_node_representations: Any  # [max_nodes, H]
+    node_to_graph_idx: Any  # [max_nodes] int32
+    node_mask: Any  # [max_nodes] bool
+    node_idx_references: Dict[str, Any]
+    node_graph_idx_reference: Dict[str, Any]
+    reference_masks: Dict[str, Any]
+    num_graphs: Any  # scalar int32
+    graph_mask: Any  # [max_graphs] bool
+
+    @property
+    def reference_nodes_idx(self) -> Dict[str, Any]:
+        return self.node_idx_references
+
+    @property
+    def reference_nodes_graph_idx(self) -> Dict[str, Any]:
+        return self.node_graph_idx_reference
+
+
+class AbstractNodeEmbedder:
+    """Node-embedder marker interface (reference: structs.py:79-84)."""
+
+    def representation_size(self) -> int:
+        raise NotImplementedError

@@ -23,7 +23,9 @@ from ptgnn_tpu.nn.module import Module, Params, fold
 
 ACTIVATIONS = {
     "relu": jax.nn.relu,
-    "gelu": jax.nn.gelu,
+    # exact (erf) form: torch.nn.GELU's default, used by the reference's
+    # MLP message passing (mlpmessagepassing.py:20)
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
     "tanh": jnp.tanh,
     "sigmoid": jax.nn.sigmoid,
     "leaky_relu": jax.nn.leaky_relu,
