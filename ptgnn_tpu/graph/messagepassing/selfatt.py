@@ -1,0 +1,195 @@
+"""Transformer-style self-attention among nodes of the same graph.
+
+Re-design of the reference's MultiHeadSelfAttentionMessagePassing
+(ptgnn/neuralmodels/gnn/messagepassing/selfattmessagepassing.py:9-136).
+The reference Python-loops over graphs and chunks each graph's nodes into
+windows of ``max_num_nodes=250``, computing dense attention inside each
+window. That loop is data-dependent and host-driven — hostile to XLA.
+
+TPU-first formulation: the flattened node axis is reshaped into fixed blocks
+of ``block_size`` rows and attention runs **block-diagonally** with a
+same-graph mask inside every block — one batched einsum over
+[num_blocks, block, ...] that the MXU tiles directly, no host loop, no
+dynamic shapes. Like the reference's chunking this is an approximation for
+graphs larger than one block (nodes attend only within their block); for
+graphs that fit inside a block and do not straddle a block boundary it is
+exact full-graph attention. Padding rows are masked from both sides of the
+softmax and produce zero attention output.
+
+``target_reference`` restricts attention to a named reference-node subset and
+writes results back in place (selfattmessagepassing.py:86-90,124-128); the
+gathered subset occupies few rows, so it uses the same block kernel.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ptgnn_tpu.graph.messagepassing.base import AbstractMessagePassingLayer, GraphContext
+from ptgnn_tpu.nn.layers import LayerNorm, Linear, dropout
+from ptgnn_tpu.nn.module import Params, fold
+
+
+def _block_attention(
+    qkv: jax.Array,  # [N, heads, 2*kd + vd]
+    graph_ids: jax.Array,  # [N]
+    valid: jax.Array,  # [N] bool
+    *,
+    key_dim: int,
+    block_size: int,
+    dropout_rate: float,
+    train: bool,
+    rng: Optional[jax.Array],
+) -> jax.Array:
+    """Block-diagonal same-graph attention. Returns [N, heads, vd]."""
+    n, heads, _ = qkv.shape
+    assert n % block_size == 0, (n, block_size)
+    nb = n // block_size
+    keys = qkv[:, :, :key_dim].reshape(nb, block_size, heads, key_dim)
+    queries = qkv[:, :, key_dim : 2 * key_dim].reshape(nb, block_size, heads, key_dim)
+    values = qkv[:, :, 2 * key_dim :].reshape(nb, block_size, heads, -1)
+
+    # Reference scoring (selfattmessagepassing.py:105-115): row i's output
+    # mixes values weighted by softmax_j(keys[i] . queries[j]).
+    scores = jnp.einsum("bkhd,bvhd->bhkv", keys, queries) / (key_dim**0.5)
+
+    gid = graph_ids.reshape(nb, block_size)
+    vld = valid.reshape(nb, block_size)
+    same_graph = gid[:, :, None] == gid[:, None, :]  # [nb, k, v]
+    attend = jnp.logical_and(
+        same_graph, jnp.logical_and(vld[:, :, None], vld[:, None, :])
+    )[:, None, :, :]  # [nb, 1, k, v]
+
+    neg_inf = jnp.finfo(scores.dtype).min
+    scores = jnp.where(attend, scores, neg_inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    # Rows with no valid target (padding nodes): zero output, no NaNs.
+    probs = jnp.where(attend.any(axis=-1, keepdims=True), probs, jnp.zeros((), probs.dtype))
+    probs = dropout(rng, probs, dropout_rate, train)
+    out = jnp.einsum("bhkv,bvhd->bkhd", probs, values)
+    return out.reshape(n, heads, -1)
+
+
+class MultiHeadSelfAttentionMessagePassing(AbstractMessagePassingLayer):
+    def __init__(
+        self,
+        input_state_dimension: int,
+        key_query_dimension: int,
+        value_dimension: int,
+        output_dimension: int,
+        intermediate_dimension: int,
+        num_heads: int,
+        dropout_rate: float = 0.0,
+        target_reference: str = "all",
+        max_num_nodes: int = 256,
+    ):
+        self.__input_dim = input_state_dimension
+        self.__output_dim = output_dimension
+        self.num_heads = num_heads
+        self.key_query_dim = key_query_dimension
+        self.value_dim = value_dimension
+        self.dropout_rate = dropout_rate
+        self.target_reference = target_reference
+        self.block_size = max_num_nodes
+
+        self.selfatt_head_transforms = Linear(
+            input_state_dimension,
+            num_heads * (2 * key_query_dimension + value_dimension),
+            use_bias=False,
+        )
+        self.summarization_layer = Linear(
+            num_heads * value_dimension, output_dimension, use_bias=False
+        )
+        self.intermediate_layer = Linear(output_dimension, intermediate_dimension)
+        self.output_layer = Linear(intermediate_dimension, output_dimension)
+        self.layer_norm1 = LayerNorm(output_dimension)
+        self.layer_norm2 = LayerNorm(output_dimension)
+
+    def init(self, key: jax.Array) -> Params:
+        ks = jax.random.split(key, 6)
+        return {
+            "head_transforms": self.selfatt_head_transforms.init(ks[0]),
+            "summarization": self.summarization_layer.init(ks[1]),
+            "intermediate": self.intermediate_layer.init(ks[2]),
+            "output": self.output_layer.init(ks[3]),
+            "layer_norm1": self.layer_norm1.init(ks[4]),
+            "layer_norm2": self.layer_norm2.init(ks[5]),
+        }
+
+    def apply(
+        self,
+        params: Params,
+        node_states: jax.Array,
+        ctx: GraphContext,
+        *,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        n = node_states.shape[0]
+        if self.target_reference == "all":
+            relevant = node_states
+            graph_ids = ctx.node_graph
+            valid = ctx.node_mask
+        else:
+            ref = ctx.references[self.target_reference]
+            relevant = jnp.take(node_states, ref.node_ids, axis=0)
+            graph_ids = jnp.where(ref.mask, ref.graph_ids, jnp.full((), -1, ref.graph_ids.dtype))
+            valid = ref.mask
+
+        r = relevant.shape[0]
+        block = min(self.block_size, r)
+        pad = (-r) % block
+        if pad:
+            relevant_p = jnp.pad(relevant, ((0, pad), (0, 0)))
+            graph_ids_p = jnp.pad(graph_ids, (0, pad), constant_values=-1)
+            valid_p = jnp.pad(valid, (0, pad), constant_values=False)
+        else:
+            relevant_p, graph_ids_p, valid_p = relevant, graph_ids, valid
+
+        qkv = self.selfatt_head_transforms.apply(params["head_transforms"], relevant_p)
+        qkv = qkv.reshape(relevant_p.shape[0], self.num_heads, -1)
+        att = _block_attention(
+            qkv,
+            graph_ids_p,
+            valid_p,
+            key_dim=self.key_query_dim,
+            block_size=block,
+            dropout_rate=self.dropout_rate,
+            train=train,
+            rng=fold(rng, 0),
+        )[:r]  # [r, heads, vd]
+
+        output = self.summarization_layer.apply(
+            params["summarization"], att.reshape(r, -1)
+        )
+        output = dropout(fold(rng, 1), output, self.dropout_rate, train)
+        attention_output = self.layer_norm1.apply(params["layer_norm1"], output + relevant)
+
+        intermediate = jax.nn.relu(
+            self.intermediate_layer.apply(params["intermediate"], attention_output)
+        )
+        out = dropout(
+            fold(rng, 2), self.output_layer.apply(params["output"], intermediate),
+            self.dropout_rate, train,
+        )
+        output_node_states = self.layer_norm2.apply(params["layer_norm2"], out + attention_output)
+
+        if self.target_reference == "all":
+            return output_node_states
+        # Write the updated reference rows back in place; padding rows are
+        # routed to an out-of-range index and dropped.
+        ref = ctx.references[self.target_reference]
+        safe_ids = jnp.where(ref.mask, ref.node_ids, jnp.full((), n, ref.node_ids.dtype))
+        return node_states.at[safe_ids].set(
+            output_node_states.astype(node_states.dtype), mode="drop"
+        )
+
+    @property
+    def input_state_dimension(self) -> int:
+        return self.__input_dim
+
+    @property
+    def output_state_dimension(self) -> int:
+        return self.__output_dim
