@@ -249,13 +249,20 @@ class GraphNeuralNetworkModel(AbstractNeuralModel):
         self.__reference_names = tuple(sorted(set(self.__reference_names) | set(names)))
 
     def build_neural_module(self) -> GraphNeuralNetwork:
+        # The creator is usually an unpicklable closure (cf. the factory fns
+        # in implementations/*/train.py); build once, cache the picklable
+        # layer objects so a restored model can rebuild its module (the
+        # reference instead pickles the torch module whole,
+        # abstractneuralmodel.py:155-163).
+        if getattr(self, "_built_mp_layers", None) is None:
+            self._built_mp_layers = self.__message_passing_layers_creator(self._num_edge_types)
+            del self.__message_passing_layers_creator
         gnn = GraphNeuralNetwork(
-            self.__message_passing_layers_creator(self._num_edge_types),
+            self._built_mp_layers,
             node_embedder=self.__node_embedding_model.build_neural_module(),
             edge_dropout_rate=self.edge_dropout_rate,
             edge_feature_embedder=None,
         )
-        del self.__message_passing_layers_creator
         return gnn
 
     def _make_batcher(self) -> GraphBatcher:

@@ -1,0 +1,231 @@
+#!/usr/bin/env python
+"""Train Graph2Class (Typilus) on a folder of .jsonl.gz Typilus graphs.
+
+TPU-native equivalent of the reference CLI
+(ptgnn/implementations/typilus/train.py): same model architecture (12-layer
+MLP-MP net with two concat-residual blocks, subtoken node embedder, max
+aggregation) and training hyperparameters (Adam lr 2.5e-4, clip 1.0,
+Accuracy-driven early stopping), argparse instead of docopt.
+
+Usage:
+    python -m ptgnn_tpu.implementations.typilus.train TRAIN_DATA_PATH \
+        VALID_DATA_PATH TEST_DATA_PATH MODEL_FILENAME [options]
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+from typing import Optional
+
+import optax
+
+from ptgnn_tpu.core.data import LazyDataIterable
+from ptgnn_tpu.core.trainer import ModelTrainer
+from ptgnn_tpu.graph.embedders import StrElementRepresentationModel
+from ptgnn_tpu.graph.gnn import GraphNeuralNetworkModel
+from ptgnn_tpu.graph.messagepassing import (
+    ConcatResidualLayer,
+    GatedMessagePassingLayer,
+    MlpMessagePassingLayer,
+)
+from ptgnn_tpu.graph.structs import BatchPadding
+from ptgnn_tpu.implementations.typilus.graph2class import Graph2Class
+from ptgnn_tpu.utils.amlutils import configure_logging, log_run
+from ptgnn_tpu.utils.io import load_from_folder
+
+
+def default_padding(max_nodes: int = 131072, max_graphs: int = 256) -> BatchPadding:
+    """Static batch budgets sized for the reference's typilus config
+    (stop at 120k nodes/batch, typilus/train.py:112-116): ~5.4 fwd edges/node
+    in the published dataset, x2 for backwards edges, tile slack."""
+    return BatchPadding(
+        max_nodes=max_nodes,
+        max_edge_slots=max_nodes * 14,
+        max_graphs=max_graphs,
+        edge_tile=128,
+        reference_budgets=(
+            ("supernodes", max(1024, max_nodes // 8)),
+            ("token-sequence", max_nodes),
+        ),
+    )
+
+
+def create_graph2class_gnn_model(
+    hidden_state_size: int = 64,
+    dropout_rate: float = 0.1,
+    padding: Optional[BatchPadding] = None,
+    architecture: str = "mlp",
+) -> Graph2Class:
+    """The reference's model factory (typilus/train.py:38-120): 'mlp' is the
+    benchmark config; 'ggnn' is the shared-weight GGNN alternative."""
+    padding = padding if padding is not None else default_padding()
+
+    def create_ggnn_mp_layers(num_edges: int):
+        ggnn_mp = GatedMessagePassingLayer(
+            state_dimension=hidden_state_size,
+            message_dimension=hidden_state_size,
+            num_edge_types=num_edges,
+            message_aggregation_function="max",
+            dropout_rate=dropout_rate,
+        )
+        r1 = ConcatResidualLayer(hidden_state_size)
+        return (
+            [r1.pass_through_dummy_layer()]
+            + [ggnn_mp] * 7  # shared weights: same layer object reused
+            + [
+                r1,
+                GatedMessagePassingLayer(
+                    state_dimension=2 * hidden_state_size,
+                    message_dimension=hidden_state_size,
+                    num_edge_types=num_edges,
+                    message_aggregation_function="max",
+                    dropout_rate=dropout_rate,
+                ),
+            ]
+        )
+
+    def create_mlp_mp_layers(num_edges: int):
+        mlp_mp_constructor = lambda: MlpMessagePassingLayer(
+            input_state_dimension=hidden_state_size,
+            message_dimension=hidden_state_size,
+            output_state_dimension=hidden_state_size,
+            num_edge_types=num_edges,
+            message_aggregation_function="max",
+            dropout_rate=dropout_rate,
+        )
+        mlp_mp_after_res_constructor = lambda: MlpMessagePassingLayer(
+            input_state_dimension=2 * hidden_state_size,
+            message_dimension=2 * hidden_state_size,
+            output_state_dimension=hidden_state_size,
+            num_edge_types=num_edges,
+            message_aggregation_function="max",
+            dropout_rate=dropout_rate,
+        )
+        r1 = ConcatResidualLayer(hidden_state_size)
+        r2 = ConcatResidualLayer(hidden_state_size)
+        return [
+            r1.pass_through_dummy_layer(),
+            mlp_mp_constructor(),
+            mlp_mp_constructor(),
+            mlp_mp_constructor(),
+            r1,
+            mlp_mp_after_res_constructor(),
+            r2.pass_through_dummy_layer(),
+            mlp_mp_constructor(),
+            mlp_mp_constructor(),
+            mlp_mp_constructor(),
+            r2,
+            mlp_mp_after_res_constructor(),
+        ]
+
+    creators = {"mlp": create_mlp_mp_layers, "ggnn": create_ggnn_mp_layers}
+    return Graph2Class(
+        gnn_model=GraphNeuralNetworkModel(
+            node_representation_model=StrElementRepresentationModel(
+                embedding_size=hidden_state_size,
+                token_splitting="subtoken",
+                subtoken_combination="mean",
+                vocabulary_size=10000,
+                min_freq_threshold=5,
+                dropout_rate=dropout_rate,
+            ),
+            message_passing_layer_creator=creators[architecture],
+            padding=padding,
+            max_nodes_per_graph=100000,
+            max_graph_edges=500000,
+            introduce_backwards_edges=True,
+            add_self_edges=True,
+            stop_extending_minibatch_after_num_nodes=min(120000, padding.max_nodes),
+            edge_dropout_rate=0.0,
+        ),
+        max_num_classes=100,
+    )
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("train_data_path", type=Path)
+    parser.add_argument("valid_data_path", type=Path)
+    parser.add_argument("test_data_path", type=Path)
+    parser.add_argument("model_filename", type=Path)
+    parser.add_argument("--max-num-epochs", type=int, default=100)
+    parser.add_argument("--minibatch-size", type=int, default=300)
+    parser.add_argument("--amp", action="store_true", help="bf16 mixed precision")
+    parser.add_argument("--restore-path", type=Path, default=None)
+    parser.add_argument("--restore-optimizer", action="store_true")
+    parser.add_argument("--sequential-run", action="store_true")
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--aml", action="store_true")
+    parser.add_argument("--max-nodes", type=int, default=131072,
+                        help="static per-batch node budget")
+    parser.add_argument("--architecture", choices=["mlp", "ggnn"], default="mlp")
+    return parser
+
+
+def run(args: argparse.Namespace) -> None:
+    configure_logging(aml_ctx=None)
+
+    training_data = LazyDataIterable(
+        lambda: load_from_folder(args.train_data_path, shuffle=True)
+    )
+    validation_data = LazyDataIterable(
+        lambda: load_from_folder(args.valid_data_path, shuffle=False)
+    )
+
+    model_path = args.model_filename
+    assert model_path.name.endswith(".pkl.gz"), "MODEL_FILENAME must have a `.pkl.gz` suffix."
+
+    initialize_metadata = True
+    if args.restore_path is not None:
+        initialize_metadata = False
+        model, params = Graph2Class.restore_model(args.restore_path)
+    else:
+        params = None
+        model = create_graph2class_gnn_model(
+            padding=default_padding(max_nodes=args.max_nodes),
+            architecture=args.architecture,
+        )
+
+    trainer = ModelTrainer(
+        model,
+        model_path,
+        max_num_epochs=args.max_num_epochs,
+        minibatch_size=args.minibatch_size,
+        optimizer_creator=lambda: optax.adam(0.00025),
+        clip_gradient_norm=1.0,
+        target_validation_metric="Accuracy",
+        target_validation_metric_higher_is_better=True,
+        enable_amp=args.amp,
+    )
+    if params is not None:
+        trainer.neural_module = model.build_neural_module()
+        trainer.params = params
+        if args.restore_optimizer:
+            trainer.restore_parameters(args.restore_path, restore_optimizer=True)
+
+    trainer.register_train_epoch_end_hook(
+        lambda model, nn, epoch, metrics: log_run(None, "train", model, epoch, metrics)
+    )
+    trainer.register_validation_epoch_end_hook(
+        lambda model, nn, epoch, metrics: log_run(None, "valid", model, epoch, metrics)
+    )
+
+    trainer.train(
+        training_data,
+        validation_data,
+        initialize_metadata=initialize_metadata,
+        parallelize=not args.sequential_run,
+        patience=10,
+        store_tensorized_data_in_memory=True,
+        show_progress_bar=not args.quiet,
+    )
+
+    test_data = LazyDataIterable(lambda: load_from_folder(args.test_data_path, shuffle=False))
+    acc = model.report_accuracy(iter(test_data), trainer.params, trainer.neural_module)
+    print(f"Test accuracy: {acc:%}")
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO)
+    run(build_arg_parser().parse_args())

@@ -5,6 +5,11 @@ orthogonal_/uniform_/normal_, plus the torch.nn.Linear/GRUCell default
 resets); we reproduce those exactly so per-layer activation parity on fixed
 imported weights holds (SURVEY.md section 6 target). All initializers take a
 PRNG key and the *torch-layout* shape (e.g. Linear weight is [out, in]).
+
+Initializers are small picklable callable objects (not closures): neural
+models and their modules are saved with gzip-pickle
+(core/model.py save/restore), so everything reachable from a module must
+pickle.
 """
 from __future__ import annotations
 
@@ -31,6 +36,16 @@ def _fan_in_out(shape: Sequence[int]) -> Tuple[int, int]:
     return fan_in, fan_out
 
 
+class Initializer:
+    """Base: a picklable (key, shape, dtype) -> array callable."""
+
+    def __call__(self, key, shape, dtype=jnp.float32):
+        raise NotImplementedError
+
+    def __repr__(self):
+        return f"{type(self).__name__}({vars(self)})"
+
+
 def zeros(key, shape, dtype=jnp.float32):
     del key
     return jnp.zeros(shape, dtype)
@@ -41,79 +56,90 @@ def ones(key, shape, dtype=jnp.float32):
     return jnp.ones(shape, dtype)
 
 
-def constant(value: float):
-    def init(key, shape, dtype=jnp.float32):
+class constant(Initializer):
+    def __init__(self, value: float):
+        self.value = value
+
+    def __call__(self, key, shape, dtype=jnp.float32):
         del key
-        return jnp.full(shape, value, dtype)
-
-    return init
+        return jnp.full(shape, self.value, dtype)
 
 
-def uniform(low: float = 0.0, high: float = 1.0):
+class uniform(Initializer):
     """torch.nn.init.uniform_(a=low, b=high)."""
 
-    def init(key, shape, dtype=jnp.float32):
-        return jax.random.uniform(key, shape, dtype, minval=low, maxval=high)
+    def __init__(self, low: float = 0.0, high: float = 1.0):
+        self.low = low
+        self.high = high
 
-    return init
+    def __call__(self, key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=self.low, maxval=self.high)
 
 
-def normal(mean: float = 0.0, std: float = 1.0):
+class normal(Initializer):
     """torch.nn.init.normal_."""
 
-    def init(key, shape, dtype=jnp.float32):
-        return jax.random.normal(key, shape, dtype) * std + mean
+    def __init__(self, mean: float = 0.0, std: float = 1.0):
+        self.mean = mean
+        self.std = std
 
-    return init
+    def __call__(self, key, shape, dtype=jnp.float32):
+        return jax.random.normal(key, shape, dtype) * self.std + self.mean
 
 
-def xavier_uniform(gain: float = 1.0):
+class xavier_uniform(Initializer):
     """torch.nn.init.xavier_uniform_: U(-a, a), a = gain*sqrt(6/(fan_in+fan_out))."""
 
-    def init(key, shape, dtype=jnp.float32):
+    def __init__(self, gain: float = 1.0):
+        self.gain = gain
+
+    def __call__(self, key, shape, dtype=jnp.float32):
         fan_in, fan_out = _fan_in_out(shape)
-        a = gain * math.sqrt(6.0 / (fan_in + fan_out))
+        a = self.gain * math.sqrt(6.0 / (fan_in + fan_out))
         return jax.random.uniform(key, shape, dtype, minval=-a, maxval=a)
 
-    return init
 
-
-def xavier_normal(gain: float = 1.0):
+class xavier_normal(Initializer):
     """torch.nn.init.xavier_normal_: N(0, std), std = gain*sqrt(2/(fan_in+fan_out))."""
 
-    def init(key, shape, dtype=jnp.float32):
+    def __init__(self, gain: float = 1.0):
+        self.gain = gain
+
+    def __call__(self, key, shape, dtype=jnp.float32):
         fan_in, fan_out = _fan_in_out(shape)
-        std = gain * math.sqrt(2.0 / (fan_in + fan_out))
+        std = self.gain * math.sqrt(2.0 / (fan_in + fan_out))
         return jax.random.normal(key, shape, dtype) * std
 
-    return init
 
-
-def kaiming_uniform(a: float = math.sqrt(5.0)):
+class kaiming_uniform(Initializer):
     """torch.nn.init.kaiming_uniform_ with leaky_relu nonlinearity.
 
     This is torch.nn.Linear's default weight reset (reset_parameters).
     """
 
-    def init(key, shape, dtype=jnp.float32):
+    def __init__(self, a: float = math.sqrt(5.0)):
+        self.a = a
+
+    def __call__(self, key, shape, dtype=jnp.float32):
         fan_in, _ = _fan_in_out(shape)
-        gain = math.sqrt(2.0 / (1.0 + a * a))
+        gain = math.sqrt(2.0 / (1.0 + self.a * self.a))
         bound = gain * math.sqrt(3.0 / fan_in)
         return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
 
-    return init
 
-
-def torch_linear_bias(fan_in: int):
+def torch_linear_bias(fan_in: int) -> uniform:
     """torch.nn.Linear default bias reset: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
     bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
     return uniform(-bound, bound)
 
 
-def orthogonal(gain: float = 1.0):
+class orthogonal(Initializer):
     """torch.nn.init.orthogonal_ (QR of a gaussian, sign-corrected)."""
 
-    def init(key, shape, dtype=jnp.float32):
+    def __init__(self, gain: float = 1.0):
+        self.gain = gain
+
+    def __call__(self, key, shape, dtype=jnp.float32):
         if len(shape) < 2:
             raise ValueError("orthogonal requires >=2D shape")
         rows = shape[0]
@@ -128,6 +154,4 @@ def orthogonal(gain: float = 1.0):
         q = q * jnp.sign(d)[None, :]
         if rows < cols:
             q = q.T
-        return (gain * q.reshape(shape)).astype(dtype)
-
-    return init
+        return (self.gain * q.reshape(shape)).astype(dtype)

@@ -21,25 +21,54 @@ from ptgnn_tpu.nn.module import Module, Params, fold
 # Activations (plain functions; referenced by name in configs)
 # ---------------------------------------------------------------------------
 
+def gelu_exact(x):
+    """Exact (erf) GELU: torch.nn.GELU's default, used by the reference's
+    MLP message passing (mlpmessagepassing.py:20)."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def identity(x):
+    return x
+
+
 ACTIVATIONS = {
     "relu": jax.nn.relu,
-    # exact (erf) form: torch.nn.GELU's default, used by the reference's
-    # MLP message passing (mlpmessagepassing.py:20)
-    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu": gelu_exact,
     "tanh": jnp.tanh,
     "sigmoid": jax.nn.sigmoid,
     "leaky_relu": jax.nn.leaky_relu,
     "elu": jax.nn.elu,
-    "identity": lambda x: x,
-    None: lambda x: x,
+    "identity": identity,
+    None: identity,
 }
+
+
+class Activation:
+    """A by-name activation that pickles cleanly.
+
+    Modules are saved with gzip-pickle (core/model.py save/restore) and
+    jax.nn functions don't pickle by qualname (custom_jvp wrappers), so
+    modules store this resolver instead of the raw function.
+    """
+
+    def __init__(self, name):
+        assert name in ACTIVATIONS, f"Unknown activation '{name}'"
+        self.name = name
+
+    def __call__(self, x):
+        return ACTIVATIONS[self.name](x)
+
+    def __repr__(self):
+        return f"Activation({self.name!r})"
 
 
 def get_activation(act):
     """Resolve an activation given as None, a name, or a callable."""
+    if isinstance(act, Activation):
+        return act
     if callable(act):
         return act
-    return ACTIVATIONS[act]
+    return Activation(act)
 
 
 def dropout(rng: Optional[jax.Array], x: jax.Array, rate: float, train: bool) -> jax.Array:
