@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Graph2Class training-throughput benchmark (the reference's headline
+number: ~1,129k edges/s on 1x V100, /root/reference/README.md:15-18;
+build target: >=2,000k edges/s/chip, BASELINE.md).
+
+Measures the full jitted optimization step (forward + backward + Adam) of
+the benchmark MLP-MP architecture over statically shaped synthetic batches
+whose size distribution mirrors the published dataset (~2.5k nodes and
+~13k forward edges per graph). Edge counts include materialized backward and
+self edges, matching how the reference counts them
+(graphneuralnetwork.py:172-201).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+BASELINE_EDGES_PER_SEC = 1_129_000.0  # reference, 1x V100
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--max-nodes", type=int, default=32768)
+    parser.add_argument("--num-batches", type=int, default=4)
+    parser.add_argument("--steps", type=int, default=30)
+    parser.add_argument("--no-amp", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+    import numpy as np
+    import optax
+
+    from ptgnn_tpu.graph.structs import BatchPadding
+    from ptgnn_tpu.implementations.typilus.harness import build_graph2class
+
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+
+    max_nodes = args.max_nodes
+    padding = BatchPadding(
+        max_nodes=max_nodes,
+        max_edge_slots=max_nodes * 12,
+        max_graphs=max(16, max_nodes // 1024),
+        edge_tile=128,
+        reference_budgets=(
+            ("supernodes", max(512, max_nodes // 16)),
+            ("token-sequence", max_nodes),
+        ),
+    )
+
+    t0 = time.time()
+    model, module, params, minibatches = build_graph2class(
+        padding=padding,
+        num_metadata_graphs=max(32, 2 * args.num_batches * (max_nodes // 2500 + 1)),
+        mean_nodes=2500,
+        max_graph_nodes=8000,
+        hidden_state_size=64,
+        num_minibatches=args.num_batches,
+        minibatch_size=300,
+    )
+    log(f"setup: {time.time()-t0:.1f}s; {len(minibatches)} batches")
+    for i, mb in enumerate(minibatches):
+        log(
+            f"  batch {i}: graphs={int(mb['batch'].num_graphs)} "
+            f"nodes={int(mb['batch'].num_nodes)} edges={int(mb['batch'].num_edges)}"
+        )
+
+    enable_amp = not args.no_amp
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(2.5e-4))
+    opt_state = optimizer.init(params)
+
+    import jax.numpy as jnp
+
+    def _cast(tree, dtype):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            tree,
+        )
+
+    def loss_fn(params, mb, rng):
+        if enable_amp:
+            params = _cast(params, jnp.bfloat16)
+            mb = _cast(mb, jnp.bfloat16)
+        loss, metrics = module.apply(params, **mb, train=True, rng=rng)
+        return loss.astype(jnp.float32), metrics
+
+    def train_step(params, opt_state, mb, rng):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, mb, rng)
+        grads = _cast(grads, jnp.float32)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, metrics
+
+    step = jax.jit(train_step, donate_argnums=(0, 1))
+
+    device_batches = [jax.device_put(mb) for mb in minibatches]
+    rng = jax.random.PRNGKey(0)
+
+    # Warmup / compile
+    t0 = time.time()
+    params, opt_state, loss, metrics = step(params, opt_state, device_batches[0], rng)
+    jax.block_until_ready(loss)
+    log(f"compile+first step: {time.time()-t0:.1f}s, loss={float(loss):.4f}")
+
+    total_edges = total_nodes = total_graphs = 0
+    t0 = time.time()
+    for i in range(args.steps):
+        mb = device_batches[i % len(device_batches)]
+        params, opt_state, loss, metrics = step(
+            params, opt_state, mb, jax.random.fold_in(rng, i)
+        )
+        total_edges += int(mb["batch"].num_edges)
+        total_nodes += int(mb["batch"].num_nodes)
+        total_graphs += int(mb["batch"].num_graphs)
+    jax.block_until_ready(loss)
+    elapsed = time.time() - t0
+
+    edges_per_sec = total_edges / elapsed
+    log(
+        f"{args.steps} steps in {elapsed:.2f}s: "
+        f"{edges_per_sec/1e3:.0f}k edges/s, {total_nodes/elapsed/1e3:.0f}k nodes/s, "
+        f"{total_graphs/elapsed:.1f} graphs/s (loss {float(loss):.4f})"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "graph2class_train_edges_per_sec",
+                "value": round(edges_per_sec, 1),
+                "unit": "edges/s",
+                "vs_baseline": round(edges_per_sec / BASELINE_EDGES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

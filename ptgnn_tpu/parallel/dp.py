@@ -1,0 +1,205 @@
+"""Data parallelism over a JAX device mesh.
+
+TPU-native replacement for the reference's DDP trainer
+(ptgnn/baseneuralmodel/distributedtrainer.py:28-397): instead of NCCL
+process groups and gradient hooks, the whole optimization step is ONE
+compiled SPMD program over a ``Mesh`` with a ``data`` axis — per-device
+loss/grad on the local statically shaped batch, a ``psum`` of gradients and
+metric accumulators over ICI, and a replicated optimizer update. There is no
+dynamic ``join()`` (distributedtrainer.py:55): every device always receives a
+(possibly empty, fully masked) batch, so step counts agree by construction —
+padding does what DDP's uneven-input machinery does.
+
+Host-side, minibatches are stacked along a leading device axis
+(``stack_minibatches``) and fed with a sharding that splits that axis across
+the mesh.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+def _shard_map(f, *, mesh, in_specs, out_specs):
+    try:  # jax >= 0.8
+        from jax import shard_map
+
+        return shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+        )
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+        return shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False
+        )
+
+
+def stack_minibatches(minibatches: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack N finalized (host numpy) minibatches along a new leading device
+    axis. All minibatches must share shapes (they do: shapes are static)."""
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *minibatches)
+
+
+def replicate_minibatch(minibatch: Dict[str, Any], n: int) -> Dict[str, Any]:
+    """An all-padding-free way to feed fewer real batches than devices is to
+    repeat batches; masked metrics divide by real counts so statistics stay
+    correct only if callers scale. Prefer fully masked empty batches."""
+    return jax.tree_util.tree_map(lambda x: np.stack([x] * n), minibatch)
+
+
+def _cast_floats(tree, dtype):
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(cast, tree)
+
+
+class DataParallel:
+    """Builds jitted SPMD train/eval steps for a module over a mesh.
+
+    The module protocol matches ModelTrainer's: ``module.apply(params,
+    **minibatch, train=..., rng=...) -> (loss, metrics)``. Metrics are summed
+    (psum) across devices; loss is averaged.
+
+    ``zero1=True`` shards Adam's optimizer state over the data axis
+    (ZeRO-1, the reference's ZeroRedundancyOptimizer capability,
+    typilus/traindistributed.py:50-72): each device keeps 1/N of the
+    moments, updates its shard, and all-gathers updated params.
+    """
+
+    def __init__(
+        self,
+        module,
+        optimizer: optax.GradientTransformation,
+        mesh: Mesh,
+        *,
+        axis: str = "data",
+        enable_amp: bool = False,
+        zero1: bool = False,
+    ):
+        self.module = module
+        self.optimizer = optimizer
+        self.mesh = mesh
+        self.axis = axis
+        self.enable_amp = enable_amp
+        self.zero1 = zero1
+        self.num_devices = mesh.shape[axis]
+
+    # -- sharding helpers -------------------------------------------------
+    def replicated(self):
+        return NamedSharding(self.mesh, P())
+
+    def batch_sharding(self):
+        return NamedSharding(self.mesh, P(self.axis))
+
+    def device_put_params(self, params):
+        return jax.device_put(params, self.replicated())
+
+    def device_put_batch(self, stacked_mb):
+        return jax.device_put(stacked_mb, self.batch_sharding())
+
+    # -- optimizer state --------------------------------------------------
+    def init_opt_state(self, params):
+        opt_state = self.optimizer.init(params)
+        if not self.zero1:
+            return jax.device_put(opt_state, self.replicated())
+        return jax.device_put(opt_state, self._zero1_opt_sharding(opt_state))
+
+    def _zero1_shardable(self, leaf) -> bool:
+        return (
+            hasattr(leaf, "ndim")
+            and leaf.ndim >= 1
+            and leaf.shape[0] % self.num_devices == 0
+            and leaf.shape[0] > 0
+        )
+
+    def _zero1_opt_sharding(self, opt_state):
+        """Shard every moment tensor whose leading dim divides the mesh;
+        scalars (step counts) stay replicated."""
+        return jax.tree_util.tree_map(
+            lambda leaf: NamedSharding(self.mesh, P(self.axis))
+            if self._zero1_shardable(leaf)
+            else self.replicated(),
+            opt_state,
+        )
+
+    # -- step builders ----------------------------------------------------
+    def _loss_fn(self, params, minibatch, rng, train: bool):
+        if self.enable_amp:
+            params = _cast_floats(params, jnp.bfloat16)
+            minibatch = _cast_floats(minibatch, jnp.bfloat16)
+        loss, metrics = self.module.apply(params, **minibatch, train=train, rng=rng)
+        return loss.astype(jnp.float32), metrics
+
+    def build_train_step(self) -> Callable:
+        """Returns jit(train_step)(params, opt_state, stacked_mb, rng,
+        lr_factor) -> (params, opt_state, mean loss, summed metrics).
+
+        stacked_mb has a leading [num_devices] axis sharded over the mesh.
+        """
+        axis = self.axis
+
+        def per_device_grads(params, mb, rng):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+            (loss, metrics), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True
+            )(params, mb, rng, True)
+            grads = _cast_floats(grads, jnp.float32)
+            # Gradient all-reduce (the DDP equivalent) over ICI.
+            grads = jax.lax.pmean(grads, axis)
+            loss = jax.lax.pmean(loss, axis)
+            metrics = jax.tree_util.tree_map(lambda m: jax.lax.psum(m, axis), metrics)
+            return grads, loss, metrics
+
+        grads_fn = _shard_map(
+            lambda params, smb, rng: per_device_grads(
+                params, jax.tree_util.tree_map(lambda x: x[0], smb), rng
+            ),
+            mesh=self.mesh,
+            in_specs=(P(), P(axis), P()),
+            out_specs=(P(), P(), P()),
+        )
+
+        def train_step(params, opt_state, stacked_mb, rng, lr_factor):
+            grads, loss, metrics = grads_fn(params, stacked_mb, rng)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            updates = jax.tree_util.tree_map(lambda u: u * lr_factor, updates)
+            params = optax.apply_updates(params, updates)
+            if self.zero1:
+                # ZeRO-1: moments stay sharded over the data axis; the param
+                # update runs shardwise and this constraint is the all-gather
+                # that re-replicates params for the next step.
+                params = jax.lax.with_sharding_constraint(params, self.replicated())
+                opt_state = jax.lax.with_sharding_constraint(
+                    opt_state, self._zero1_opt_sharding(opt_state)
+                )
+            return params, opt_state, loss, metrics
+
+        donate = (0, 1)
+        return jax.jit(train_step, donate_argnums=donate)
+
+    def build_eval_step(self) -> Callable:
+        axis = self.axis
+
+        def per_device_eval(params, mb):
+            loss, metrics = self._loss_fn(params, mb, None, False)
+            loss = jax.lax.pmean(loss, axis)
+            metrics = jax.tree_util.tree_map(lambda m: jax.lax.psum(m, axis), metrics)
+            return loss, metrics
+
+        eval_fn = _shard_map(
+            lambda params, smb: per_device_eval(
+                params, jax.tree_util.tree_map(lambda x: x[0], smb)
+            ),
+            mesh=self.mesh,
+            in_specs=(P(), P(axis)),
+            out_specs=(P(), P()),
+        )
+        return jax.jit(eval_fn)
