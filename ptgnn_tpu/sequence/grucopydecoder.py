@@ -1,0 +1,482 @@
+"""GRU sequence decoder with a copy mechanism over variable-sized memory sets.
+
+TPU-native re-design of the reference decoder
+(ptgnn/neuralmodels/sequence/grucopydecoder.py:29-457). The joint
+vocab-or-copy distribution is computed exactly as the reference does —
+per-(sample, step) segment log-softmax over flattened memories, logsumexp
+normalization over vocab scores + total copy score — but over statically
+padded arrays:
+
+* memories are a padded [M_pad, D] array with ``origin_idx``/``mask``
+  (padding memories contribute -inf to every softmax, i.e. nothing);
+* the reference's sparse ``copyable_elements_idxs`` flat-index arrays
+  (grucopydecoder.py:321-373) become a dense boolean ``copy_matrix``
+  [M_pad, S-1]: entry (m, t) says memory m's string equals its sample's
+  target token t+1. The marginalize-over-copy-positions loss is then one
+  masked segment-logsumexp — no host-built index arithmetic, same math;
+* the GRU runs as a ``lax.scan``; teacher forcing is one compiled program.
+
+Numerics: eps=0 semantics throughout (-inf for impossible actions,
+empty copy sets -> -inf total copy score), fp32 score accumulation.
+"""
+from __future__ import annotations
+
+import logging
+from collections import Counter
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ptgnn_tpu.core.model import AbstractNeuralModel
+from ptgnn_tpu.nn import initializers as init
+from ptgnn_tpu.nn.layers import GRU, Embedding, Linear, dropout
+from ptgnn_tpu.nn.module import Module, Params, fold
+from ptgnn_tpu.ops.segment import segment_log_softmax, segment_logsumexp, segment_sum
+from ptgnn_tpu.utils.text import Vocabulary
+
+LOGGER = logging.getLogger(__name__)
+
+
+class DecoderData(NamedTuple):
+    input_elements: List[str]
+    target_data: List[str]
+
+
+class TokenizedOutput(NamedTuple):
+    token_ids: List[int]
+    length: int
+    num_input_elements: int
+    # Per decoding step, indices of input elements equal to the target token.
+    copyable_elements: List[np.ndarray]
+
+
+class GruCopyingDecoder(Module):
+    def __init__(
+        self,
+        vocabulary_size: int,
+        embedding_size: int,
+        hidden_size: int,
+        memories_hidden_dim: int,
+        unk_id: int,
+        dropout_rate: float,
+    ):
+        self.vocabulary_size = vocabulary_size
+        self.embedding_size = embedding_size
+        self.hidden_size = hidden_size
+        self.unk_id = unk_id
+        self.dropout_rate = dropout_rate
+        self.embedding = Embedding(vocabulary_size, embedding_size)  # torch default N(0,1)
+        self.gru = GRU(embedding_size, hidden_size)
+        self.memories_to_standard_attention = Linear(
+            memories_hidden_dim, hidden_size, use_bias=False
+        )
+        self.memories_to_copy_attention = Linear(memories_hidden_dim, hidden_size, use_bias=False)
+
+    def init(self, key: jax.Array) -> Params:
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        return {
+            "embedding": self.embedding.init(k1),
+            "gru": self.gru.init(k2),
+            "mem_to_std": self.memories_to_standard_attention.init(k3),
+            "mem_to_copy": self.memories_to_copy_attention.init(k4),
+            # Reference: 0.01 * randn (grucopydecoder.py:54), zeros bias.
+            "hidden_to_vocab": 0.01
+            * jax.random.normal(k5, (2 * self.hidden_size, self.embedding_size)),
+            "vocab_bias": jnp.zeros((self.vocabulary_size,)),
+        }
+
+    def _compute_logprobs(
+        self,
+        params: Params,
+        initial_states: jax.Array,  # [B, H]
+        input_memories: jax.Array,  # [M, D]
+        input_memories_origin_idx: jax.Array,  # [M] in [0, B) (padding: B)
+        memory_mask: jax.Array,  # [M] bool
+        input_token_ids: jax.Array,  # [B, T]
+        *,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+    ):
+        """Returns (copy_logprobs [M, T], target_logprobs [B, T, V],
+        final GRU state [B, H]). Mirrors grucopydecoder.py:59-142."""
+        num_targets = initial_states.shape[0]
+        emb = self.embedding.apply(params["embedding"], input_token_ids)
+        emb = dropout(fold(rng, 0), emb, self.dropout_rate, train)
+        output_states, final_state = self.gru.apply(params["gru"], emb, initial_states)
+        output_states = output_states.astype(jnp.float32)  # [B, T, H]
+
+        std_reps = self.memories_to_standard_attention.apply(
+            params["mem_to_std"], input_memories
+        ).astype(jnp.float32)  # [M, H]
+        copy_reps = self.memories_to_copy_attention.apply(
+            params["mem_to_copy"], input_memories
+        )
+        copy_reps = dropout(fold(rng, 1), copy_reps, self.dropout_rate, train).astype(
+            jnp.float32
+        )
+
+        safe_origin = jnp.minimum(input_memories_origin_idx, num_targets - 1)
+        out_per_input = jnp.take(output_states, safe_origin, axis=0)  # [M, T, H]
+        std_scores = jnp.einsum("mth,mh->mt", out_per_input, std_reps)
+        copy_scores = jnp.einsum("mth,mh->mt", out_per_input, copy_reps)
+
+        std_logprobs = segment_log_softmax(
+            std_scores, input_memories_origin_idx, num_targets, mask=memory_mask
+        )  # [M, T]
+        std_att_mul = jnp.exp(std_logprobs)[..., None] * std_reps[:, None, :]
+        std_att_out = segment_sum(
+            std_att_mul, input_memories_origin_idx, num_targets, mask=memory_mask
+        )  # [B, T, H]
+
+        concat = jnp.concatenate(
+            [
+                dropout(fold(rng, 2), std_att_out, self.dropout_rate, train),
+                output_states,
+            ],
+            axis=-1,
+        )  # [B, T, 2H]
+        emb_weight = dropout(
+            fold(rng, 3), params["embedding"]["weight"], self.dropout_rate, train
+        ).astype(jnp.float32)
+        target_scores = (
+            jnp.einsum(
+                "bth,he,ve->btv",
+                concat,
+                params["hidden_to_vocab"].astype(jnp.float32),
+                emb_weight,
+            )
+            + params["vocab_bias"].astype(jnp.float32)
+        )  # [B, T, V]
+
+        total_copy_scores = segment_logsumexp(
+            copy_scores, input_memories_origin_idx, num_targets, mask=memory_mask
+        )  # [B, T] (-inf where a sample has no memories)
+        all_scores = jnp.concatenate(
+            [target_scores, total_copy_scores[..., None]], axis=-1
+        )
+        # Manual logsumexp tolerating the -inf copy column.
+        shift = jnp.max(target_scores, axis=-1)
+        normalizing_const = (
+            jnp.log(jnp.sum(jnp.exp(all_scores - shift[..., None]), axis=-1)) + shift
+        )  # [B, T]
+
+        target_logprobs = target_scores - normalizing_const[..., None]
+        copy_logprobs = copy_scores - jnp.take(
+            normalizing_const, safe_origin, axis=0
+        )  # [M, T]
+        return copy_logprobs, target_logprobs, final_state
+
+    def apply(
+        self,
+        params: Params,
+        *,
+        input_memories: jax.Array,  # [M, D]
+        input_memories_origin_idx: jax.Array,  # [M]
+        memory_mask: jax.Array,  # [M]
+        initial_states: jax.Array,  # [B, H]
+        target_token_ids: jax.Array,  # [B, S]
+        target_lengths: jax.Array,  # [B]
+        copy_matrix: jax.Array,  # [M, S-1] bool
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+    ):
+        """Copy-marginalized NLL (reference: grucopydecoder.py:145-212).
+        Returns (loss, metrics). Rows with length 0 are padding."""
+        copy_logprobs, target_logprobs, _ = self._compute_logprobs(
+            params,
+            initial_states,
+            input_memories,
+            input_memories_origin_idx,
+            memory_mask,
+            target_token_ids[:, :-1],
+            train=train,
+            rng=rng,
+        )
+        num_targets, s = target_token_ids.shape
+        neg_inf = jnp.float32(-jnp.inf)
+
+        valid_copy = jnp.logical_and(copy_matrix, memory_mask[:, None])  # [M, S-1]
+        num_valid_copy = segment_sum(
+            valid_copy.astype(jnp.int32), input_memories_origin_idx, num_targets
+        )  # [B, S-1]
+        # UNK is only a correct generation when nothing can be copied
+        # (grucopydecoder.py:170-186).
+        unk_locations = target_token_ids[:, 1:] == self.unk_id
+        gen_blocked = jnp.logical_and(num_valid_copy > 0, unk_locations)
+
+        correct_generation = jnp.take_along_axis(
+            target_logprobs, target_token_ids[:, 1:, None], axis=-1
+        )[..., 0]  # [B, S-1]
+        correct_generation = jnp.where(gen_blocked, neg_inf, correct_generation)
+
+        correct_copy = segment_logsumexp(
+            jnp.where(valid_copy, copy_logprobs, neg_inf),
+            input_memories_origin_idx,
+            num_targets,
+            mask=memory_mask,
+        )  # [B, S-1]
+
+        any_correct = jnp.logaddexp(correct_generation, correct_copy)
+        step_mask = jnp.arange(s - 1)[None, :] < target_lengths[:, None]
+        row_valid = target_lengths > 0
+        per_seq = jnp.sum(jnp.where(step_mask, any_correct, 0.0), axis=-1) / jnp.maximum(
+            jnp.sum(step_mask, axis=-1), 1
+        )
+        num_rows = jnp.maximum(jnp.sum(row_valid), 1)
+        loss = -jnp.sum(jnp.where(row_valid, per_seq, 0.0)) / num_rows.astype(jnp.float32)
+        return loss, {"num_sequences": jnp.sum(row_valid)}
+
+
+class GruCopyingDecoderModel(
+    AbstractNeuralModel[DecoderData, TokenizedOutput, GruCopyingDecoder]
+):
+    """Host side: output vocabulary, tensorization of targets + copyable
+    positions, statically padded minibatching
+    (reference: grucopydecoder.py:215-373)."""
+
+    def __init__(
+        self,
+        *,
+        max_seq_len: int = 8,
+        hidden_size: int = 128,
+        embedding_size: int = 256,
+        memories_hidden_dim: int = 128,
+        vocabulary_max_size: int = 20000,
+        vocabulary_count_threshold: int = 5,
+        dropout_rate: float = 0.2,
+    ):
+        super().__init__()
+        self.max_seq_len = max_seq_len
+        self.hidden_size = hidden_size
+        self.embedding_size = embedding_size
+        self.memories_hidden_dim = memories_hidden_dim
+        self.vocabulary_max_size = vocabulary_max_size
+        self.vocabulary_count_threshold = vocabulary_count_threshold
+        self.dropout_rate = dropout_rate
+
+    @property
+    def END(self) -> str:
+        return "%END%"
+
+    @property
+    def START(self) -> str:
+        return "%START%"
+
+    # ---- metadata ----
+    def initialize_metadata(self) -> None:
+        self.__token_counter: Counter = Counter()
+
+    def update_metadata_from(self, datapoint: DecoderData) -> None:
+        self.__token_counter.update(datapoint.target_data)
+
+    def finalize_metadata(self) -> None:
+        self.__token_counter[self.START] = 1000000
+        self.__token_counter[self.END] = 1000000
+        self.__output_vocabulary = Vocabulary.create_vocabulary(
+            self.__token_counter,
+            max_size=self.vocabulary_max_size,
+            count_threshold=self.vocabulary_count_threshold,
+        )
+        LOGGER.info("Output vocabulary Size %s", len(self.__output_vocabulary))
+        del self.__token_counter
+
+    @property
+    def vocabulary(self) -> Vocabulary:
+        return self.__output_vocabulary
+
+    def build_neural_module(self) -> GruCopyingDecoder:
+        return GruCopyingDecoder(
+            vocabulary_size=len(self.__output_vocabulary),
+            embedding_size=self.embedding_size,
+            hidden_size=self.hidden_size,
+            memories_hidden_dim=self.memories_hidden_dim,
+            unk_id=self.__output_vocabulary.get_id_or_unk(Vocabulary.get_unk()),
+            dropout_rate=self.dropout_rate,
+        )
+
+    # ---- tensorization (reference: grucopydecoder.py:278-301) ----
+    def tensorize(self, datapoint: DecoderData) -> TokenizedOutput:
+        target_with_start_end = [self.START] + list(datapoint.target_data) + [self.END]
+        target_with_start_end = target_with_start_end[: self.max_seq_len]
+        seq_len = len(target_with_start_end)
+        return TokenizedOutput(
+            token_ids=self.__output_vocabulary.get_id_or_unk_multiple(target_with_start_end),
+            length=seq_len,
+            num_input_elements=len(datapoint.input_elements),
+            copyable_elements=[
+                np.array(
+                    [
+                        i
+                        for i, input_element in enumerate(datapoint.input_elements)
+                        if input_element == target_token
+                    ],
+                    dtype=np.int32,
+                )
+                for target_token in target_with_start_end[1:]
+            ],
+        )
+
+    # ---- minibatching ----
+    def initialize_minibatch(self) -> Dict[str, Any]:
+        return {
+            "target_token_ids": [],
+            "target_seq_lengths": [],
+            "copyable_elements_idxs": [],
+            "num_input_elements": [],
+        }
+
+    def extend_minibatch_with(self, tensorized_datapoint, partial_minibatch) -> bool:
+        partial_minibatch["target_token_ids"].append(tensorized_datapoint.token_ids)
+        partial_minibatch["target_seq_lengths"].append(tensorized_datapoint.length)
+        partial_minibatch["copyable_elements_idxs"].append(
+            tensorized_datapoint.copyable_elements
+        )
+        partial_minibatch["num_input_elements"].append(
+            tensorized_datapoint.num_input_elements
+        )
+        return True
+
+    def finalize_minibatch(
+        self,
+        accumulated_minibatch_data: Dict[str, Any],
+        max_targets: Optional[int] = None,
+        memories_budget: Optional[int] = None,
+    ) -> Dict[str, Any]:
+        """Pad targets to [max_targets, S]; build the dense copy matrix
+        [memories_budget, S-1] assuming each sample's memories occupy a
+        contiguous run of slots in extension order (the GNN batcher's
+        reference-set layout guarantees this)."""
+        s = self.max_seq_len
+        num_samples = len(accumulated_minibatch_data["target_token_ids"])
+        b = max_targets if max_targets is not None else num_samples
+        m = (
+            memories_budget
+            if memories_budget is not None
+            else int(sum(accumulated_minibatch_data["num_input_elements"]))
+        )
+
+        target_token_ids = np.zeros((b, s), np.int32)
+        target_lengths = np.zeros(b, np.int32)
+        copy_matrix = np.zeros((m, s - 1), bool)
+
+        offset = 0
+        for sample_idx, (token_ids, copyables, num_inputs) in enumerate(
+            zip(
+                accumulated_minibatch_data["target_token_ids"],
+                accumulated_minibatch_data["copyable_elements_idxs"],
+                accumulated_minibatch_data["num_input_elements"],
+            )
+        ):
+            target_token_ids[sample_idx, : len(token_ids)] = token_ids
+            target_lengths[sample_idx] = accumulated_minibatch_data["target_seq_lengths"][
+                sample_idx
+            ]
+            for t, idxs in enumerate(copyables):
+                if len(idxs):
+                    copy_matrix[offset + idxs, t] = True
+            offset += num_inputs
+
+        return {
+            "target_token_ids": target_token_ids,
+            "target_lengths": target_lengths,
+            "copy_matrix": copy_matrix,
+        }
+
+    # ---- inference (reference: grucopydecoder.py:375-457) ----
+    def greedy_decode(
+        self,
+        *,
+        input_concrete_values: List[str],
+        input_memories,
+        input_memories_origin_idx,
+        memory_mask,
+        initial_states,
+        params: Params,
+        neural_module: GruCopyingDecoder,
+        num_real_targets: Optional[int] = None,
+    ) -> List[Tuple[List[str], float]]:
+        """Greedy decoding: device computes per-step joint logprobs, host
+        merges copy probabilities by concrete string value (same semantics as
+        the reference; the merge is a string-keyed max so it stays on host)."""
+        import math
+
+        output_vocab = self.__output_vocabulary
+        batch_size = (
+            int(num_real_targets) if num_real_targets is not None else initial_states.shape[0]
+        )
+
+        step_fn = jax.jit(
+            lambda params, states, tokens: neural_module._compute_logprobs(
+                params,
+                states,
+                input_memories,
+                input_memories_origin_idx,
+                memory_mask,
+                tokens,
+            )
+        )
+
+        real_memory_slots = np.where(np.asarray(memory_mask))[0]
+        assert len(real_memory_slots) == len(input_concrete_values), (
+            len(real_memory_slots),
+            len(input_concrete_values),
+        )
+        origin_np = np.asarray(input_memories_origin_idx)
+
+        current_states = initial_states
+        next_tokens = np.full(
+            (initial_states.shape[0], 1),
+            output_vocab.get_id_or_unk(self.START),
+            np.int32,
+        )
+        predicted_tokens: List[List[str]] = [[] for _ in range(batch_size)]
+        predicted_logprobs = [0.0 for _ in range(batch_size)]
+        sample_done = np.zeros(batch_size, bool)
+
+        for _ in range(self.max_seq_len):
+            copy_logprobs, target_logprobs, current_states = step_fn(
+                params, current_states, jnp.asarray(next_tokens)
+            )
+            target_lp = np.asarray(target_logprobs)[:, 0, :]  # [B, V]
+            copy_lp = np.asarray(copy_logprobs)[:, 0]  # [M]
+
+            # Top-k vocab + copy-by-string merge (grucopydecoder.py:407-434).
+            k = min(100, target_lp.shape[-1])
+            topk_idxs = np.argpartition(-target_lp, k - 1, axis=-1)[:, :k]
+            merged = [
+                {
+                    output_vocab.get_name_for_id(int(i)): float(target_lp[bi, i])
+                    for i in topk_idxs[bi]
+                }
+                for bi in range(batch_size)
+            ]
+            for slot, concrete in zip(real_memory_slots, input_concrete_values):
+                bi = int(origin_np[slot])
+                if bi >= batch_size:
+                    continue
+                merged[bi][concrete] = float(
+                    np.logaddexp(merged[bi].get(concrete, -math.inf), copy_lp[slot])
+                )
+
+            step_tokens = []
+            for bi in range(batch_size):
+                if sample_done[bi]:
+                    step_tokens.append(self.END)
+                    continue
+                predicted_token, predicted_logprob = max(
+                    merged[bi].items(), key=lambda x: x[1]
+                )
+                if predicted_token == self.END:
+                    sample_done[bi] = True
+                else:
+                    predicted_tokens[bi].append(predicted_token)
+                step_tokens.append(predicted_token)
+                predicted_logprobs[bi] += predicted_logprob
+
+            next_tokens = np.zeros((initial_states.shape[0], 1), np.int32)
+            for bi, tok in enumerate(step_tokens):
+                next_tokens[bi, 0] = output_vocab.get_id_or_unk(tok)
+
+        return list(zip(predicted_tokens, predicted_logprobs))

@@ -96,7 +96,9 @@ def synthetic_ppi_graphs(
     the reference PPI dataloader produces per graph (ppi/dataloader.py:35-90).
     """
     rng = np.random.RandomState(seed)
-    w = rng.randn(num_features, num_labels).astype(np.float32)
+    # The feature->label projection is fixed across folds/seeds so that a
+    # model trained on one fold generalizes to another.
+    w = np.random.RandomState(12345).randn(num_features, num_labels).astype(np.float32)
     for _ in range(num_graphs):
         n = int(np.clip(rng.poisson(mean_nodes), 32, 4 * mean_nodes))
         feats = rng.randn(n, num_features).astype(np.float32)
