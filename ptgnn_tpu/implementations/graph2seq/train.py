@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Train Graph2Seq on jsonl(.gz) CodeGraph2Seq data
+(reference CLI: ptgnn/implementations/graph2seq/train.py).
+
+Usage:
+    python -m ptgnn_tpu.implementations.graph2seq.train TRAIN_DATA VALID_DATA \
+        MODEL_FILENAME [options]
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+from typing import Optional
+
+from ptgnn_tpu.core.data import LazyDataIterable
+from ptgnn_tpu.core.trainer import ModelTrainer
+from ptgnn_tpu.graph.embedders import StrElementRepresentationModel
+from ptgnn_tpu.graph.gnn import GraphNeuralNetworkModel
+from ptgnn_tpu.graph.messagepassing import GatedMessagePassingLayer, MeanResidualLayer
+from ptgnn_tpu.graph.structs import BatchPadding
+from ptgnn_tpu.implementations.graph2seq.graph2seq import Graph2Seq
+from ptgnn_tpu.sequence.grucopydecoder import GruCopyingDecoderModel
+from ptgnn_tpu.utils.amlutils import configure_logging
+from ptgnn_tpu.utils.io import iter_jsonl_gz
+
+
+def g2s_padding(max_nodes: int = 32768, max_graphs: int = 64) -> BatchPadding:
+    return BatchPadding(
+        max_nodes=max_nodes,
+        max_edge_slots=max_nodes * 8,
+        max_graphs=max_graphs,
+        edge_tile=128,
+        reference_budgets=(("backbone_nodes", max_nodes),),
+    )
+
+
+def create_graph2seq_model(
+    embedding_size: int = 128,
+    dropout_rate: float = 0.1,
+    padding: Optional[BatchPadding] = None,
+    max_seq_len: int = 8,
+    token_vocabulary_size: int = 10000,
+) -> Graph2Seq:
+    """The reference architecture (graph2seq/train.py:54-107): token-vocab
+    node embedder, 8 shared-weight GGNN layers + 1 fresh in a mean-residual
+    block, GRU copy decoder."""
+    padding = padding if padding is not None else g2s_padding()
+
+    def create_mp_layers(num_edges: int):
+        ggnn_mp = GatedMessagePassingLayer(
+            state_dimension=embedding_size,
+            message_dimension=embedding_size,
+            num_edge_types=num_edges,
+            message_aggregation_function="sum",
+            dropout_rate=dropout_rate,
+        )
+        r1 = MeanResidualLayer(embedding_size)
+        return (
+            [r1.pass_through_dummy_layer()]
+            + [ggnn_mp] * 7
+            + [
+                r1,
+                GatedMessagePassingLayer(
+                    state_dimension=embedding_size,
+                    message_dimension=embedding_size,
+                    num_edge_types=num_edges,
+                    message_aggregation_function="sum",
+                    dropout_rate=dropout_rate,
+                ),
+            ]
+        )
+
+    return Graph2Seq(
+        gnn_model=GraphNeuralNetworkModel(
+            node_representation_model=StrElementRepresentationModel(
+                token_splitting="token",
+                embedding_size=embedding_size,
+                vocabulary_size=token_vocabulary_size,
+            ),
+            message_passing_layer_creator=create_mp_layers,
+            padding=padding,
+        ),
+        decoder=GruCopyingDecoderModel(
+            hidden_size=128,
+            embedding_size=256,
+            memories_hidden_dim=embedding_size,
+            max_seq_len=max_seq_len,
+        ),
+    )
+
+
+def load_jsonl(path: Path):
+    if str(path).endswith(".gz"):
+        yield from iter_jsonl_gz(path)
+    else:
+        import json
+
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    yield json.loads(line)
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("train_data_path", type=Path)
+    parser.add_argument("valid_data_path", type=Path)
+    parser.add_argument("model_filename", type=Path)
+    parser.add_argument("--max-num-epochs", type=int, default=100)
+    parser.add_argument("--minibatch-size", type=int, default=50)
+    parser.add_argument("--amp", action="store_true")
+    parser.add_argument("--restore-path", type=Path, default=None)
+    parser.add_argument("--sequential-run", action="store_true")
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--max-nodes", type=int, default=32768)
+    return parser
+
+
+def run(args: argparse.Namespace) -> ModelTrainer:
+    configure_logging()
+    training_data = LazyDataIterable(lambda: load_jsonl(args.train_data_path))
+    validation_data = LazyDataIterable(lambda: load_jsonl(args.valid_data_path))
+
+    model_path = args.model_filename
+    assert model_path.name.endswith(".pkl.gz"), "MODEL_FILENAME must have a `.pkl.gz` suffix."
+
+    initialize_metadata = True
+    if args.restore_path is not None:
+        initialize_metadata = False
+        model, params = Graph2Seq.restore_model(args.restore_path)
+    else:
+        model = create_graph2seq_model(padding=g2s_padding(args.max_nodes))
+        params = None
+
+    trainer = ModelTrainer(
+        model,
+        model_path,
+        max_num_epochs=args.max_num_epochs,
+        minibatch_size=args.minibatch_size,
+        enable_amp=args.amp,
+    )
+    if params is not None:
+        trainer.neural_module = model.build_neural_module()
+        trainer.params = params
+
+    trainer.train(
+        training_data,
+        validation_data,
+        initialize_metadata=initialize_metadata,
+        parallelize=not args.sequential_run,
+        show_progress_bar=not args.quiet,
+    )
+    return trainer
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO)
+    run(build_arg_parser().parse_args())

@@ -94,8 +94,19 @@ def _segment_extremum(data, segment_ids, num_segments, mask, kind: str, empty_fi
         neutral = info.min if kind == "max" else info.max
     else:
         neutral = -jnp.inf if kind == "max" else jnp.inf
+    # segment_max/min's VJP splits the cotangent among tied maxima; a segment
+    # referenced only through clamped out-of-range padding ids has tie count
+    # 0 -> 0/0 NaN in the backward pass. Route out-of-range ids to segment 0
+    # with the neutral element instead (forward-identical: neutral never wins
+    # against a real element, and all-padding segments hit ``empty_fill``).
+    in_range = segment_ids < num_segments
     if mask is not None:
-        work = jnp.where(_expand_mask(mask, work), work, jnp.full((), neutral, work.dtype))
+        eff_mask = jnp.logical_and(mask, in_range)
+    else:
+        eff_mask = in_range
+    segment_ids = jnp.where(in_range, segment_ids, 0)
+    work = jnp.where(_expand_mask(eff_mask, work), work, jnp.full((), neutral, work.dtype))
+    mask = eff_mask  # for the empty-segment count below
     if kind == "max":
         out = jax.ops.segment_max(work, segment_ids, num_segments=num_segments)
     else:
@@ -172,7 +183,15 @@ def segment_logsumexp(
     if mask is not None:
         expd = jnp.where(_expand_mask(mask, expd), expd, jnp.zeros((), data.dtype))
     denom = jax.ops.segment_sum(expd, segment_ids, num_segments=num_segments)
-    out = jnp.log(denom) + shift
+    # Empty / all -inf segments: forward must be -inf, but log(0)'s backward
+    # is inf * 0 = NaN; the double-where keeps gradients zero on that path.
+    nonempty = denom > 0
+    log_denom = jnp.where(
+        nonempty,
+        jnp.log(jnp.where(nonempty, denom, jnp.ones((), denom.dtype))),
+        jnp.full((), -jnp.inf, denom.dtype),
+    )
+    out = log_denom + shift
     return out.astype(orig) if orig is not None else out
 
 
@@ -188,7 +207,11 @@ def segment_log_softmax(
     """
     data, orig = _promote(data)
     lse = segment_logsumexp(data, segment_ids, num_segments, mask)
-    out = data - lse[segment_ids]
+    # Elements whose gathered lse is -inf (fully masked / out-of-range padding
+    # segments) are themselves masked; use a finite stand-in so no ±inf
+    # intermediate leaks NaNs into the backward pass.
+    lse_safe = jnp.where(jnp.isfinite(lse), lse, jnp.zeros((), lse.dtype))
+    out = data - jnp.take(lse_safe, segment_ids, axis=0, mode="fill", fill_value=0.0)
     if mask is not None:
         out = jnp.where(
             _expand_mask(mask, out), out, jnp.full((), -jnp.inf, out.dtype)

@@ -167,7 +167,11 @@ class SelfAttentionVarSizedElementReduce(AbstractVarSizedElementReduce):
 
     def apply(self, params: Params, inputs: ElementsToSummaryRepresentationInput) -> jax.Array:
         queries = self.query_layer.apply(params["query"], inputs)  # [S, H]
-        queries_all = jnp.take(queries, inputs.element_to_sample_map, axis=0)  # [E, H]
+        # Padding elements carry out-of-range sample ids; fill with 0 (their
+        # scores are masked out) — jnp.take's default OOB fill is NaN.
+        queries_all = jnp.take(
+            queries, inputs.element_to_sample_map, axis=0, mode="fill", fill_value=0.0
+        )  # [E, H]
         keys = self.key_layer.apply(params["key"], inputs.element_embeddings)  # [E, H]
         scores = jnp.sum(queries_all * keys, axis=-1)  # [E]
         values = self.output_layer.apply(params["output"], inputs.element_embeddings)
@@ -228,7 +232,9 @@ class MultiheadSelfAttentionVarSizedElementReduce(AbstractVarSizedElementReduce)
     def apply(self, params: Params, inputs: ElementsToSummaryRepresentationInput) -> jax.Array:
         h = self.num_heads
         queries = self.query_layer.apply(params["query"], inputs)  # [S, H]
-        q_el = jnp.take(queries, inputs.element_to_sample_map, axis=0)  # [E, H]
+        q_el = jnp.take(
+            queries, inputs.element_to_sample_map, axis=0, mode="fill", fill_value=0.0
+        )  # [E, H]
         q_el = q_el.reshape(q_el.shape[0], h, -1)  # [E, h, H/h]
         keys = self.key_layer.apply(params["key"], inputs.element_embeddings)
         keys = keys.reshape(keys.shape[0], h, -1)  # [E, h, H/h]

@@ -82,6 +82,105 @@ def synthetic_typilus_graphs(
         }
 
 
+def synthetic_graph2seq_samples(
+    num_samples: int,
+    seed: int = 0,
+    mean_nodes: int = 60,
+    max_nodes: int = 150,
+    backbone_fraction: float = 0.4,
+    name_len: int = 3,
+):
+    """CodeGraph2Seq-schema samples (reference graph2seq.py:24-29): labeled
+    nodes, typed edges, a backbone token sequence, and a method name whose
+    tokens are drawn from the backbone labels (so copying carries signal)."""
+    rng = np.random.RandomState(seed)
+    for _ in range(num_samples):
+        n = int(np.clip(rng.poisson(mean_nodes), 12, max_nodes))
+        node_labels = [_IDENTIFIERS[rng.randint(len(_IDENTIFIERS))] for _ in range(n)]
+        edges: Dict[str, List] = {}
+        for et in _EDGE_TYPES[:3]:
+            num_e = rng.poisson(1.5 * n / 3)
+            if num_e:
+                edges[et] = [
+                    (int(a), int(b))
+                    for a, b in zip(rng.randint(0, n, num_e), rng.randint(0, n, num_e))
+                ]
+        backbone = sorted(
+            rng.choice(n, size=max(2, int(n * backbone_fraction)), replace=False).tolist()
+        )
+        # Method name: mostly backbone labels (copyable), sometimes fresh.
+        name = []
+        for _ in range(rng.randint(1, name_len + 1)):
+            if rng.rand() < 0.8:
+                name.append(node_labels[backbone[rng.randint(len(backbone))]].lower())
+            else:
+                name.append(_IDENTIFIERS[rng.randint(len(_IDENTIFIERS))].lower())
+        yield {
+            "backbone_sequence": backbone,
+            "node_labels": node_labels,
+            "edges": edges,
+            "method_name": name,
+        }
+
+
+def synthetic_varmisuse_samples(
+    num_samples: int,
+    seed: int = 0,
+    mean_tokens: int = 40,
+    num_candidates: int = 4,
+):
+    """VarMisuseSample-schema graphs (reference varmisuse.py:16-33): a token
+    chain, candidate dummy nodes, one slot dummy node. The slot node's label
+    equals the correct candidate's symbol name, so label matching solves the
+    task — enough signal for learnability tests."""
+    rng = np.random.RandomState(seed)
+    for _ in range(num_samples):
+        n_tok = int(np.clip(rng.poisson(mean_tokens), 10, 4 * mean_tokens))
+        labels = {}
+        for i in range(n_tok):
+            labels[str(i)] = _IDENTIFIERS[rng.randint(len(_IDENTIFIERS))]
+        cand_names = list(
+            rng.choice(_IDENTIFIERS, size=num_candidates, replace=False)
+        )
+        correct = int(rng.randint(num_candidates))
+        cand_nodes = []
+        for k, name in enumerate(cand_names):
+            idx = n_tok + k
+            labels[str(idx)] = str(name)
+            cand_nodes.append(idx)
+        slot_node = n_tok + num_candidates
+        labels[str(slot_node)] = str(cand_names[correct])
+
+        next_token = [(i, i + 1) for i in range(n_tok - 1)]
+        child = [
+            (int(a), int(b))
+            for a, b in zip(
+                rng.randint(0, n_tok, n_tok // 2), rng.randint(0, n_tok, n_tok // 2)
+            )
+        ]
+        # connect candidates and slot into the graph
+        uses = [(c, int(rng.randint(n_tok))) for c in cand_nodes]
+        uses.append((slot_node, int(rng.randint(n_tok))))
+
+        yield {
+            "ContextGraph": {
+                "Edges": {"NextToken": next_token, "Child": child, "Uses": uses},
+                "NodeLabels": labels,
+                "NodeTypes": {},
+            },
+            "slotTokenIdx": 0,
+            "SlotDummyNode": slot_node,
+            "SymbolCandidates": [
+                {
+                    "SymbolDummyNode": int(c),
+                    "SymbolName": str(name),
+                    "IsCorrect": bool(k == correct),
+                }
+                for k, (c, name) in enumerate(zip(cand_nodes, cand_names))
+            ],
+        }
+
+
 def synthetic_ppi_graphs(
     num_graphs: int,
     seed: int = 0,
