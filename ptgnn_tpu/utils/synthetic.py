@@ -158,9 +158,13 @@ def synthetic_varmisuse_samples(
                 rng.randint(0, n_tok, n_tok // 2), rng.randint(0, n_tok, n_tok // 2)
             )
         ]
-        # connect candidates and slot into the graph
-        uses = [(c, int(rng.randint(n_tok))) for c in cand_nodes]
-        uses.append((slot_node, int(rng.randint(n_tok))))
+        # Connect each candidate to a distinct token; the slot connects to
+        # the SAME token as the correct candidate, so a 2-hop message-passing
+        # path identifies the answer (mimics the shared-data-flow signal of
+        # the real task).
+        cand_tokens = rng.choice(n_tok, size=num_candidates, replace=False)
+        uses = [(int(c), int(t)) for c, t in zip(cand_nodes, cand_tokens)]
+        uses.append((slot_node, int(cand_tokens[correct])))
 
         yield {
             "ContextGraph": {

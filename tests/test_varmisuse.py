@@ -55,7 +55,7 @@ def test_varmisuse_trains_above_chance():
     trainer = ModelTrainer(
         model,
         Path(tmp) / "vm.pkl.gz",
-        max_num_epochs=8,
+        max_num_epochs=25,
         minibatch_size=4,
         optimizer_creator=lambda: optax.adam(2e-3),
         clip_gradient_norm=1.0,
