@@ -76,9 +76,9 @@ class ModelTrainer:
         enable_amp: bool = False,
         seed: int = 0,
     ):
-        self.__model = model
-        self.__params = None
-        self.__neural_module = None
+        self._model = model
+        self._params = None
+        self._neural_module = None
         self._checkpoint_location = Path(checkpoint_location)
         self._max_num_epochs = max_num_epochs
         self._minibatch_size = minibatch_size
@@ -88,7 +88,7 @@ class ModelTrainer:
         self._enable_amp = enable_amp
         self._seed = seed
 
-        self.__metadata_finalized_hooks: List[Callable[[AbstractNeuralModel], None]] = []
+        self._metadata_finalized_hooks: List[Callable[[AbstractNeuralModel], None]] = []
         self._training_start_hooks: List[Callable[[AbstractNeuralModel, Any, Any], None]] = []
         self._train_epoch_end_hooks: List[EndOfEpochHook] = []
         self._validation_epoch_end_hooks: List[EndOfEpochHook] = []
@@ -111,33 +111,33 @@ class ModelTrainer:
     # ------------------------------------------------------------------
     @property
     def model(self) -> AbstractNeuralModel:
-        return self.__model
+        return self._model
 
     @property
     def neural_module(self):
-        if self.__neural_module is None:
+        if self._neural_module is None:
             raise Exception("Neural module has not been built.")
-        return self.__neural_module
+        return self._neural_module
 
     @neural_module.setter
     def neural_module(self, module):
-        self.__neural_module = module
+        self._neural_module = module
 
     @property
     def params(self):
-        if self.__params is None:
+        if self._params is None:
             raise Exception("Parameters have not been initialized.")
-        return self.__params
+        return self._params
 
     @params.setter
     def params(self, params):
-        self.__params = params
+        self._params = params
 
     # ------------------------------------------------------------------
     # Hooks (reference: trainer.py:172-187)
     # ------------------------------------------------------------------
     def register_model_metadata_finalized_hook(self, hook) -> None:
-        self.__metadata_finalized_hooks.append(hook)
+        self._metadata_finalized_hooks.append(hook)
 
     def register_training_start_hook(self, hook) -> None:
         self._training_start_hooks.append(hook)
@@ -157,26 +157,26 @@ class ModelTrainer:
     def load_metadata_and_create_network(
         self, training_data: Iterable, parallelize: bool = True, show_progress_bar: bool = False
     ) -> None:
-        self.__model.compute_metadata(iter(training_data), parallelize)
-        self.__neural_module = self.__model.build_neural_module()
-        self.__params = self.__neural_module.init(jax.random.PRNGKey(self._seed))
+        self._model.compute_metadata(iter(training_data), parallelize)
+        self._neural_module = self._model.build_neural_module()
+        self._params = self._neural_module.init(jax.random.PRNGKey(self._seed))
         num_params = sum(
-            int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(self.__params)
+            int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(self._params)
         )
         self.LOGGER.info("Model metadata loaded; %s trainable parameters.", num_params)
-        for m in self.__metadata_finalized_hooks:
-            m(self.__model)
+        for m in self._metadata_finalized_hooks:
+            m(self._model)
         self.LOGGER.info(
-            "Model Definition:\n %s", json.dumps(dict(self.__model.model_definition), indent=2)
+            "Model Definition:\n %s", json.dumps(dict(self._model.model_definition), indent=2)
         )
         self._save_checkpoint()
 
     def restore_parameters(self, path: Optional[Path] = None, restore_optimizer: bool = False):
         """Resume support (reference: typilus/train.py:154-180)."""
         path = Path(path) if path is not None else self._checkpoint_location
-        _, params = self.__model.restore_model(path)
-        self.__neural_module = self.__model.build_neural_module()
-        self.__params = params
+        _, params = self._model.restore_model(path)
+        self._neural_module = self._model.build_neural_module()
+        self._params = params
         if restore_optimizer:
             opt_path = path.with_suffix(".optimizerstate")
             if opt_path.exists():
@@ -185,10 +185,10 @@ class ModelTrainer:
                 self._start_epoch_override = epoch
 
     def _save_checkpoint(self) -> None:
-        self.__model.save(self._checkpoint_location, self.__params)
+        self._model.save(self._checkpoint_location, self._params)
 
     def _restore_checkpoint(self) -> None:
-        _, self.__params = self.__model.restore_model(self._checkpoint_location)
+        _, self._params = self._model.restore_model(self._checkpoint_location)
 
     # ------------------------------------------------------------------
     # Compiled steps
@@ -234,10 +234,10 @@ class ModelTrainer:
         metrics_acc = MetricsAccumulator()
         start_time = time.time()
         rng = jax.random.PRNGKey(self._seed * 1_000_003 + epoch)
-        params = self.__params
+        params = self._params
         pending_loss = None
         for step_idx, (mb_data, raw_samples) in enumerate(
-            self.__model.minibatch_iterator(
+            self._model.minibatch_iterator(
                 training_tensors(),
                 max_minibatch_size=self._minibatch_size,
                 yield_partial_minibatches=False,
@@ -260,7 +260,7 @@ class ModelTrainer:
             metrics_acc.update(metrics)
         if pending_loss is not None and not np.isfinite(float(pending_loss)):
             raise Exception("Loss has a NaN value.")
-        self.__params = params
+        self._params = params
 
         elapsed = time.time() - start_time
         assert num_minibatches > 0, (
@@ -281,7 +281,7 @@ class ModelTrainer:
             },
         }
         for hook in self._train_epoch_end_hooks:
-            hook(self.__model, self.neural_module, epoch, train_metrics)
+            hook(self._model, self.neural_module, epoch, train_metrics)
         if train_metrics:
             self.LOGGER.info("Training Metrics: %s", json.dumps(train_metrics, indent=2))
         return opt_state
@@ -290,14 +290,14 @@ class ModelTrainer:
         sum_epoch_loss, num_minibatches, num_samples = 0.0, 0, 0
         metrics_acc = MetricsAccumulator()
         start_time = time.time()
-        for mb_data, raw_samples in self.__model.minibatch_iterator(
+        for mb_data, raw_samples in self._model.minibatch_iterator(
             validation_tensors(),
             max_minibatch_size=self._minibatch_size,
             yield_partial_minibatches=True,
             shuffle_input=False,
             parallelize=parallelize,
         ):
-            loss, metrics = self._eval_step_fn(self.__params, mb_data)
+            loss, metrics = self._eval_step_fn(self._params, mb_data)
             sum_epoch_loss += float(loss)
             num_minibatches += 1
             num_samples += len(raw_samples)
@@ -312,7 +312,7 @@ class ModelTrainer:
 
         validation_metrics = self.neural_module.finalize_metrics(metrics_acc.totals())
         for hook in self._validation_epoch_end_hooks:
-            hook(self.__model, self.neural_module, epoch, validation_metrics)
+            hook(self._model, self.neural_module, epoch, validation_metrics)
         if validation_metrics:
             self.LOGGER.info("Validation Metrics: %s", json.dumps(validation_metrics, indent=2))
 
@@ -345,10 +345,10 @@ class ModelTrainer:
         if initialize_metadata:
             self.load_metadata_and_create_network(training_data, parallelize, show_progress_bar)
 
-        training_tensors = lambda: self.__model.tensorize_dataset(
+        training_tensors = lambda: self._model.tensorize_dataset(
             iter(training_data), parallelize=parallelize, use_multiprocessing=use_multiprocessing
         )
-        validation_tensors = lambda: self.__model.tensorize_dataset(
+        validation_tensors = lambda: self._model.tensorize_dataset(
             iter(validation_data), parallelize=parallelize, use_multiprocessing=use_multiprocessing
         )
         if store_tensorized_data_in_memory:
@@ -360,7 +360,7 @@ class ModelTrainer:
             optimizer = optax.chain(
                 optax.clip_by_global_norm(self._clip_gradient_norm), optimizer
             )
-        opt_state = optimizer.init(self.__params)
+        opt_state = optimizer.init(self._params)
         if self._restored_opt_state is not None:
             opt_state = jax.tree_util.tree_map(
                 lambda tmpl, restored: jnp.asarray(restored),
@@ -375,7 +375,7 @@ class ModelTrainer:
         self._build_step_functions(optimizer)
 
         for hook in self._training_start_hooks:
-            hook(self.__model, self.neural_module, optimizer)
+            hook(self._model, self.neural_module, optimizer)
 
         if self._target_metric_higher_is_better and self._target_metric is not None:
             best_target_metric = -math.inf
@@ -411,7 +411,7 @@ class ModelTrainer:
                 self._save_checkpoint()
                 best_target_metric = target_metric
                 for hook in self._improved_epoch_end_hooks:
-                    hook(self.__model, self.neural_module, epoch, validation_metrics)
+                    hook(self._model, self.neural_module, epoch, validation_metrics)
             else:
                 num_epochs_not_improved += 1
                 if num_epochs_not_improved > patience:

@@ -1,11 +1,30 @@
-"""Host-side assembly of statically shaped, type-blocked graph batches.
+"""Host-side assembly of statically shaped graph batches in the unified
+(block, type)-grouped edge layout.
 
 Implements the reference's graph-flattening minibatcher
-(graphneuralnetwork.py:369-493) for XLA: many small graphs become one padded
-disconnected graph with fixed array shapes (see graph/structs.py docstring
-for the layout). All work here is numpy on host; the heavy loop (offset
-shifting + concat + tile padding) is isolated so it can later be swapped for
-the C++ batch assembler without touching callers.
+(graphneuralnetwork.py:369-493) for XLA/Pallas. Many small graphs become one
+padded disconnected graph whose fused edge array is sorted by
+
+    (receiver row block, edge type, receiver)
+
+with every (row block, type) segment padded up to a multiple of
+``edge_tile``. One ordering then serves both hot paths with zero device-side
+permutation:
+
+* every tile of ``edge_tile`` consecutive edges has a single **type**
+  (``tile_types``) -> per-edge-type linear maps are one tile-batched MXU
+  matmul (ops/typed_linear.py);
+* every tile also targets a single **row block** of ``agg_rows`` consecutive
+  receiver rows, with receivers sorted inside each segment
+  (``tile_row_blocks``, ``local_rows``) -> message aggregation is the
+  sorted-segment Pallas kernel (ops/pallas/segment_kernels.py), one-hot
+  matmuls on the MXU instead of XLA's serialized scatter.
+
+Backwards edges (type id T+t) and self edges (last type id) are materialized
+here at batch build (the reference builds them per forward pass,
+graphneuralnetwork.py:172-186 — device-side list surgery is hostile to XLA).
+All work is numpy on host; the hot assembly loop is isolated so it can later
+be swapped for the C++ batch assembler without touching callers.
 """
 from __future__ import annotations
 
@@ -46,6 +65,7 @@ class GraphBatcher:
         self.padding = padding
         self.introduce_backwards_edges = introduce_backwards_edges
         self.add_self_edges = add_self_edges
+        assert padding.max_edge_slots % padding.edge_tile == 0
 
     @property
     def num_edge_types(self) -> int:
@@ -56,34 +76,91 @@ class GraphBatcher:
             t += 1
         return t
 
+    @property
+    def num_row_blocks(self) -> int:
+        return -(-self.padding.max_nodes // self.padding.agg_rows)
+
     # -- accumulation ----------------------------------------------------
     def initialize(self) -> Dict[str, Any]:
         return {
-            "adjacency_lists": [([], []) for _ in range(self.num_fwd_edge_types)],
-            "edge_counts": [0] * self.num_fwd_edge_types,
+            # raw per-graph edge arrays (already offset), concatenated lazily
+            "senders": [],
+            "receivers": [],
+            "types": [],
+            # (row_block, type) -> edge count, for exact slot accounting
+            "seg_counts": {},
             "num_nodes_per_graph": [],
             "reference_node_ids": {},
             "reference_node_graph_idx": {},
             "num_nodes_in_mb": 0,
+            "num_edges_in_mb": 0,
         }
 
-    def _edge_slots(self, counts: Sequence[int]) -> int:
+    def _graph_edge_arrays(
+        self, graph: TensorizedGraphData, offset: int
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """All materialized edges of one graph (fwd + bwd + self), offset."""
+        senders: List[np.ndarray] = []
+        receivers: List[np.ndarray] = []
+        types: List[np.ndarray] = []
+        base = self.num_fwd_edge_types
+        for t, (src, dst) in enumerate(graph.adjacency_lists):
+            if len(src) == 0:
+                continue
+            src = src.astype(np.int32) + offset
+            dst = dst.astype(np.int32) + offset
+            senders.append(src)
+            receivers.append(dst)
+            types.append(np.full(len(src), t, np.int32))
+            if self.introduce_backwards_edges:
+                senders.append(dst)
+                receivers.append(src)
+                types.append(np.full(len(src), base + t, np.int32))
+        if self.add_self_edges:
+            idents = np.arange(offset, offset + graph.num_nodes, dtype=np.int32)
+            senders.append(idents)
+            receivers.append(idents)
+            types.append(np.full(graph.num_nodes, self.num_edge_types - 1, np.int32))
+        if not senders:
+            z = np.zeros(0, np.int32)
+            return z, z, z
+        return (
+            np.concatenate(senders),
+            np.concatenate(receivers),
+            np.concatenate(types),
+        )
+
+    def _slots_for(self, seg_counts: Dict[Tuple[int, int], int]) -> int:
         tile = self.padding.edge_tile
-        slots = sum(_tile_ceil(c, tile) for c in counts)
-        if self.introduce_backwards_edges:
-            slots *= 2
+        slots = sum(_tile_ceil(c, tile) for c in seg_counts.values())
+        # every row block needs >= 1 tile so its output block initializes
+        blocks_with_edges = {b for b, _ in seg_counts}
+        slots += tile * (self.num_row_blocks - len(blocks_with_edges))
         return slots
+
+    def _merged_seg_counts(self, graph, offset) -> Dict[Tuple[int, int], int]:
+        _, receivers, types = self._graph_edge_arrays(graph, offset)
+        r = self.padding.agg_rows
+        delta: Dict[Tuple[int, int], int] = {}
+        if len(receivers):
+            keys = (receivers // r).astype(np.int64) * (self.num_edge_types + 1) + types
+            uniq, cnt = np.unique(keys, return_counts=True)
+            for k, c in zip(uniq, cnt):
+                b, t = divmod(int(k), self.num_edge_types + 1)
+                delta[(b, t)] = int(c)
+        return delta
 
     def can_add(self, graph: TensorizedGraphData, mb: Dict[str, Any]) -> bool:
         p = self.padding
         if len(mb["num_nodes_per_graph"]) + 1 > p.max_graphs:
             return False
-        if mb["num_nodes_in_mb"] + graph.num_nodes > p.max_nodes:
+        offset = mb["num_nodes_in_mb"]
+        if offset + graph.num_nodes > p.max_nodes:
             return False
-        new_counts = [
-            c + len(src) for c, (src, _) in zip(mb["edge_counts"], graph.adjacency_lists)
-        ]
-        if self._edge_slots(new_counts) > p.max_edge_slots:
+        merged = dict(mb["seg_counts"])
+        for key, c in self._merged_seg_counts(graph, offset).items():
+            merged[key] = merged.get(key, 0) + c
+        if self._slots_for(merged) > p.max_edge_slots:
             return False
         for name, refs in graph.reference_nodes.items():
             existing = mb["reference_node_ids"].get(name)
@@ -93,17 +170,21 @@ class GraphBatcher:
         return True
 
     def extend(self, graph: TensorizedGraphData, mb: Dict[str, Any]) -> bool:
-        """Add a graph (caller must have checked can_add). Returns whether
-        the batch is likely to accept more (soft signal; can_add decides)."""
+        """Add a graph (caller must have checked can_add)."""
         offset = mb["num_nodes_in_mb"]
         graph_idx = len(mb["num_nodes_per_graph"])
-        for t, (src, dst) in enumerate(graph.adjacency_lists):
-            if len(src):
-                mb["adjacency_lists"][t][0].append(src.astype(np.int32) + offset)
-                mb["adjacency_lists"][t][1].append(dst.astype(np.int32) + offset)
-                mb["edge_counts"][t] += len(src)
+        senders, receivers, types = self._graph_edge_arrays(graph, offset)
+        mb["senders"].append(senders)
+        mb["receivers"].append(receivers)
+        mb["types"].append(types)
+        for key, c in self._merged_seg_counts(graph, offset).items():
+            mb["seg_counts"][key] = mb["seg_counts"].get(key, 0) + c
+        mb["num_edges_in_mb"] += len(senders)
+
         for name, refs in graph.reference_nodes.items():
-            mb["reference_node_ids"].setdefault(name, []).append(refs.astype(np.int32) + offset)
+            mb["reference_node_ids"].setdefault(name, []).append(
+                refs.astype(np.int32) + offset
+            )
             mb["reference_node_graph_idx"].setdefault(name, []).extend(
                 graph_idx for _ in range(len(refs))
             )
@@ -117,62 +198,87 @@ class GraphBatcher:
     ) -> GraphBatch:
         p = self.padding
         tile = p.edge_tile
+        r = p.agg_rows
         n_pad, g_pad = p.max_nodes, p.max_graphs
+        e_pad = p.max_edge_slots
+        n_tiles = e_pad // tile
+        num_blocks = self.num_row_blocks
         num_nodes = mb["num_nodes_in_mb"]
         num_graphs = len(mb["num_nodes_per_graph"])
+        t_total = self.num_edge_types
 
-        # ---- fused type-blocked edge arrays ----
-        fwd: List[Tuple[np.ndarray, np.ndarray]] = []
-        for t in range(self.num_fwd_edge_types):
-            srcs, dsts = mb["adjacency_lists"][t]
-            if srcs:
-                fwd.append((np.concatenate(srcs), np.concatenate(dsts)))
-            else:
-                z = np.zeros(0, np.int32)
-                fwd.append((z, z))
+        if mb["senders"]:
+            senders_r = np.concatenate(mb["senders"])
+            receivers_r = np.concatenate(mb["receivers"])
+            types_r = np.concatenate(mb["types"])
+        else:
+            senders_r = receivers_r = types_r = np.zeros(0, np.int32)
 
-        segments: List[Tuple[int, np.ndarray, np.ndarray]] = []  # (type, src, dst)
-        for t, (src, dst) in enumerate(fwd):
-            segments.append((t, src, dst))
-        if self.introduce_backwards_edges:
-            base = self.num_fwd_edge_types
-            for t, (src, dst) in enumerate(fwd):
-                segments.append((base + t, dst, src))
+        # Sort by (row block, type, receiver).
+        block_r = receivers_r // r
+        order = np.lexsort((receivers_r, types_r, block_r))
+        senders_r = senders_r[order]
+        receivers_r = receivers_r[order]
+        types_r = types_r[order]
+        block_r = block_r[order]
 
-        e_slots = p.max_edge_slots
-        self_slots = n_pad if self.add_self_edges else 0
-        e_pad = e_slots + self_slots
+        # Segment boundaries where (block, type) changes.
+        seg_key = block_r.astype(np.int64) * (t_total + 1) + types_r
+        if len(seg_key):
+            seg_bounds = np.concatenate(
+                [[0], np.nonzero(np.diff(seg_key))[0] + 1, [len(seg_key)]]
+            )
+        else:
+            seg_bounds = np.array([0, 0])
+
         senders = np.zeros(e_pad, np.int32)
         receivers = np.full(e_pad, n_pad, np.int32)  # OOB -> dropped
         edge_types = np.zeros(e_pad, np.int32)
-        tile_types = np.zeros(e_pad // tile, np.int32)
+        tile_types = np.zeros(n_tiles, np.int32)
+        tile_row_blocks = np.zeros(n_tiles, np.int32)
+        local_rows = np.full(e_pad, r, np.int32)  # sentinel R
         edge_mask = np.zeros(e_pad, bool)
 
         cursor = 0
-        total_edges = 0
-        for t, src, dst in segments:
-            c = len(src)
-            if c == 0:
-                continue
-            seg = _tile_ceil(c, tile)
-            senders[cursor : cursor + c] = src
-            receivers[cursor : cursor + c] = dst
-            edge_types[cursor : cursor + seg] = t
-            tile_types[cursor // tile : (cursor + seg) // tile] = t
-            edge_mask[cursor : cursor + c] = True
-            cursor += seg
-            total_edges += c
-        assert cursor <= e_slots, "batcher admitted more edges than the budget"
+        tile_cursor = 0
+        seg_idx = 0
+        num_segments = len(seg_bounds) - 1
+        for b in range(num_blocks):
+            block_tiles = 0
+            while seg_idx < num_segments:
+                s0, s1 = seg_bounds[seg_idx], seg_bounds[seg_idx + 1]
+                if s1 <= s0 or block_r[s0] != b:
+                    if s1 <= s0:
+                        seg_idx += 1
+                        continue
+                    break
+                c = s1 - s0
+                seg = _tile_ceil(c, tile)
+                t = int(types_r[s0])
+                senders[cursor : cursor + c] = senders_r[s0:s1]
+                receivers[cursor : cursor + c] = receivers_r[s0:s1]
+                local_rows[cursor : cursor + c] = receivers_r[s0:s1] - b * r
+                edge_types[cursor : cursor + seg] = t
+                edge_mask[cursor : cursor + c] = True
+                tile_types[tile_cursor : tile_cursor + seg // tile] = t
+                tile_row_blocks[tile_cursor : tile_cursor + seg // tile] = b
+                cursor += seg
+                tile_cursor += seg // tile
+                block_tiles += seg // tile
+                seg_idx += 1
+            if block_tiles == 0:
+                # all-padding tile so the output block gets initialized
+                tile_row_blocks[tile_cursor] = b
+                cursor += tile
+                tile_cursor += 1
+        assert cursor <= e_pad, "batcher admitted more edges than the budget"
+        # Trailing spare tiles continue the last row block (all padding).
+        if tile_cursor < n_tiles:
+            tile_row_blocks[tile_cursor:] = num_blocks - 1
 
-        if self.add_self_edges:
-            t_self = self.num_edge_types - 1
-            idents = np.arange(n_pad, dtype=np.int32)
-            senders[e_slots:] = idents
-            receivers[e_slots:] = np.where(idents < num_nodes, idents, n_pad)
-            edge_types[e_slots:] = t_self
-            tile_types[e_slots // tile :] = t_self
-            edge_mask[e_slots:] = idents < num_nodes
-            total_edges += num_nodes
+        counts = np.zeros(num_blocks * r, np.int32)
+        if len(receivers_r):
+            np.add.at(counts, receivers_r, 1)
 
         adjacency = AdjacencyStruct(
             senders=senders,
@@ -180,6 +286,12 @@ class GraphBatcher:
             edge_types=edge_types,
             tile_types=tile_types,
             mask=edge_mask,
+            local_rows=local_rows.reshape(e_pad, 1),
+            local_rows_row=np.repeat(
+                local_rows.reshape(n_tiles, tile), 8, axis=0
+            ).reshape(n_tiles * 8, tile),
+            tile_row_blocks=tile_row_blocks,
+            agg_counts=counts.reshape(num_blocks, r),
         )
 
         # ---- node -> graph mapping ----
@@ -202,10 +314,10 @@ class GraphBatcher:
             if chunks:
                 flat = np.concatenate(chunks)
                 gflat = np.asarray(mb["reference_node_graph_idx"][name], np.int32)
-                r = len(flat)
-                ids[:r] = flat
-                gidx[:r] = gflat
-                mask[:r] = True
+                nrefs = len(flat)
+                ids[:nrefs] = flat
+                gidx[:nrefs] = gflat
+                mask[:nrefs] = True
             references[name] = ReferenceSet(node_ids=ids, graph_ids=gidx, mask=mask)
 
         return GraphBatch(
@@ -216,7 +328,7 @@ class GraphBatcher:
             node_mask=node_mask,
             references=references,
             num_nodes=np.int32(num_nodes),
-            num_edges=np.int32(total_edges),
+            num_edges=np.int32(mb["num_edges_in_mb"]),
             num_graphs=np.int32(num_graphs),
             graph_mask=graph_mask,
         )

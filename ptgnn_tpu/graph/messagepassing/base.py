@@ -16,6 +16,20 @@ from ptgnn_tpu.ops.segment import segment_reduce
 from ptgnn_tpu.graph.structs import AdjacencyStruct, ReferenceSet
 
 
+def _use_pallas_aggregation() -> bool:
+    """Pallas aggregation runs on real TPU backends only; the CPU interpreter
+    is orders of magnitude slower than XLA's segment ops. Override with
+    PTGNN_TPU_FORCE_PALLAS_AGG=0/1."""
+    import os
+
+    override = os.environ.get("PTGNN_TPU_FORCE_PALLAS_AGG")
+    if override is not None:
+        return override not in ("0", "false", "")
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 class GraphContext(NamedTuple):
     """Everything a message-passing layer may need besides node states."""
 
@@ -53,13 +67,28 @@ class AbstractMessagePassingLayer(Module):
         aggregation_fn: str,
     ) -> jax.Array:
         """Masked segment reduce to receivers; fp32 accumulation for low
-        precision inputs (mirrors abstractmessagepassing.py:38-50)."""
+        precision inputs (mirrors abstractmessagepassing.py:38-50).
+
+        On TPU with a batch built in the unified layout, this runs the
+        sorted-segment Pallas kernel (one-hot matmuls on the MXU); otherwise
+        the XLA segment ops."""
+        adj = ctx.adjacency
+        if (
+            adj.has_aggregation_plan
+            and aggregation_fn in ("sum", "add", "mean", "max", "min")
+            and _use_pallas_aggregation()
+        ):
+            from ptgnn_tpu.ops.pallas.segment_kernels import adjacency_segment_reduce
+
+            return adjacency_segment_reduce(
+                messages, adj, num_nodes, aggregation_fn, mask=adj.mask
+            )
         return segment_reduce(
             messages,
-            ctx.adjacency.receivers,
+            adj.receivers,
             num_segments=num_nodes,
             reduction=aggregation_fn,
-            mask=ctx.adjacency.mask,
+            mask=adj.mask,
         )
 
     @property

@@ -99,6 +99,9 @@ class BatchPadding:
     max_edge_slots: int
     max_graphs: int
     edge_tile: int = 128
+    # Receiver rows per aggregation block: the Pallas segment kernel keeps
+    # one [agg_rows, D] output block in VMEM while tiles stream through it.
+    agg_rows: int = 256
     # (name, budget) pairs for reference-node sets; names not listed get
     # DEFAULT_REFERENCE_BUDGET slots.
     reference_budgets: Tuple[Tuple[str, int], ...] = field(default_factory=tuple)
@@ -120,10 +123,14 @@ class ReferenceSet(NamedTuple):
 
 
 class AdjacencyStruct(NamedTuple):
-    """The fused, type-blocked edge structure of a flattened batch.
+    """The fused edge structure of a flattened batch in the unified
+    (row block, type, receiver)-sorted layout (see graph/batching.py).
 
     All fields are arrays so the struct is a plain jit-able pytree; static
-    quantities (edge tile size) are derived from shapes.
+    quantities (edge tile size, aggregation rows per block) are derived from
+    shapes. The ``local_rows``/``tile_row_blocks``/``agg_counts`` fields form
+    the precomputed plan for the Pallas sorted-segment aggregation kernel;
+    they are None when a batch is built without the fast-aggregation layout.
     """
 
     senders: Any  # [E_pad] int32 (padding: 0)
@@ -131,10 +138,22 @@ class AdjacencyStruct(NamedTuple):
     edge_types: Any  # [E_pad] int32
     tile_types: Any  # [E_pad // edge_tile] int32 (single type per tile)
     mask: Any  # [E_pad] bool
+    local_rows: Any = None  # [E_pad, 1] int32 receiver - block*R (padding: R)
+    local_rows_row: Any = None  # [n_tiles * 8, edge_tile] int32 (sublane-replicated)
+    tile_row_blocks: Any = None  # [n_tiles] int32 (single row block per tile)
+    agg_counts: Any = None  # [num_row_blocks, R] int32 in-degrees
 
     @property
     def edge_tile(self) -> int:
         return self.senders.shape[0] // self.tile_types.shape[0]
+
+    @property
+    def agg_rows(self) -> int:
+        return self.agg_counts.shape[1]
+
+    @property
+    def has_aggregation_plan(self) -> bool:
+        return self.tile_row_blocks is not None
 
 
 class GraphBatch(NamedTuple):

@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Distributed (data-parallel) Graph2Class training over all local devices
+(reference CLI: ptgnn/implementations/typilus/traindistributed.py).
+
+One process drives every device on this host (SPMD over a ``data`` mesh).
+For multi-host slices, run the same command on every host with
+``--coordinator`` / ``--num-processes`` / ``--process-id``.
+
+Usage:
+    python -m ptgnn_tpu.implementations.typilus.traindistributed TRAIN_DATA \
+        VALID_DATA TEST_DATA MODEL_FILENAME [options]
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+
+import optax
+
+from ptgnn_tpu.core.data import LazyDataIterable
+from ptgnn_tpu.implementations.typilus.graph2class import Graph2Class
+from ptgnn_tpu.implementations.typilus.train import (
+    create_graph2class_gnn_model,
+    default_padding,
+)
+from ptgnn_tpu.parallel.distributed_trainer import (
+    DistributedModelTrainer,
+    default_data_mesh,
+    initialize_multi_host,
+)
+from ptgnn_tpu.utils.amlutils import configure_logging, log_run
+from ptgnn_tpu.utils.io import load_from_folder
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("train_data_path", type=Path)
+    parser.add_argument("valid_data_path", type=Path)
+    parser.add_argument("test_data_path", type=Path)
+    parser.add_argument("model_filename", type=Path)
+    parser.add_argument("--max-num-epochs", type=int, default=100)
+    parser.add_argument("--minibatch-size", type=int, default=300)
+    parser.add_argument("--amp", action="store_true")
+    parser.add_argument("--restore-path", type=Path, default=None)
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--max-nodes", type=int, default=131072)
+    parser.add_argument("--world-size", type=int, default=None,
+                        help="number of local devices to use (default: all)")
+    parser.add_argument("--no-zero1", action="store_true",
+                        help="disable optimizer-state sharding")
+    # multi-host rendezvous (jax.distributed)
+    parser.add_argument("--coordinator", type=str, default=None)
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
+    return parser
+
+
+def run(args: argparse.Namespace) -> None:
+    if args.coordinator is not None:
+        initialize_multi_host(args.coordinator, args.num_processes, args.process_id)
+    configure_logging(rank=args.process_id)
+
+    import jax
+
+    mesh = default_data_mesh(args.world_size)
+    logging.info("Data mesh over %s devices (%s).", mesh.shape["data"], jax.devices())
+
+    # Per-host file interleaving (reference: traindistributed.py:37-47).
+    rank = args.process_id or 0
+    world = args.num_processes or 1
+    training_data = LazyDataIterable(
+        lambda: load_from_folder(
+            args.train_data_path, shuffle=True, rank=rank, world_size=world
+        )
+    )
+    validation_data = LazyDataIterable(
+        lambda: load_from_folder(args.valid_data_path, shuffle=False)
+    )
+
+    model_path = args.model_filename
+    assert model_path.name.endswith(".pkl.gz"), "MODEL_FILENAME must have a `.pkl.gz` suffix."
+
+    initialize_metadata = True
+    if args.restore_path is not None:
+        initialize_metadata = False
+        model, params = Graph2Class.restore_model(args.restore_path)
+    else:
+        model = create_graph2class_gnn_model(
+            padding=default_padding(max_nodes=args.max_nodes)
+        )
+        params = None
+
+    trainer = DistributedModelTrainer(
+        model,
+        model_path,
+        mesh=mesh,
+        zero1=not args.no_zero1,
+        max_num_epochs=args.max_num_epochs,
+        minibatch_size=args.minibatch_size,
+        optimizer_creator=lambda: optax.adam(0.00025),
+        clip_gradient_norm=1.0,
+        target_validation_metric="Accuracy",
+        target_validation_metric_higher_is_better=True,
+        enable_amp=args.amp,
+    )
+    if params is not None:
+        trainer.neural_module = model.build_neural_module()
+        trainer.params = params
+
+    trainer.register_train_epoch_end_hook(
+        lambda model, nn, epoch, metrics: log_run(None, "train", model, epoch, metrics)
+    )
+    trainer.register_validation_epoch_end_hook(
+        lambda model, nn, epoch, metrics: log_run(None, "valid", model, epoch, metrics)
+    )
+
+    trainer.train(
+        training_data,
+        validation_data,
+        initialize_metadata=initialize_metadata,
+        patience=10,
+        store_tensorized_data_in_memory=True,
+        show_progress_bar=not args.quiet,
+    )
+
+    test_data = LazyDataIterable(lambda: load_from_folder(args.test_data_path, shuffle=False))
+    acc = model.report_accuracy(iter(test_data), trainer.params, trainer.neural_module)
+    print(f"Test accuracy: {acc:%}")
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO)
+    run(build_arg_parser().parse_args())

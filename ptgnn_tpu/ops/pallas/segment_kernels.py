@@ -1,0 +1,423 @@
+"""Pallas TPU kernels for sorted-segment reductions (message aggregation).
+
+This is the performance path replacing torch-scatter (the reference's only
+native dependency, see SURVEY.md §2.6). XLA lowers `jax.ops.segment_*` with
+random indices to a serialized scatter (~8-17 ms for [400k, 64] on v5e — the
+dominant cost of every message-passing layer). The TPU-native formulation:
+
+1. Host-side (once per batch, numpy — receivers are static per batch): sort
+   edges by receiver, group them into *row blocks* of ``R`` consecutive
+   output rows, and pad each group to a multiple of ``agg_tile`` so that
+   every tile of ``agg_tile`` edges touches exactly one row block
+   (`build_aggregation_plan`).
+2. Device-side: one sequential-grid kernel walks the edge tiles. Scatter
+   becomes a **one-hot matmul on the MXU**: ``acc[R, D] += onehot(local_rows
+   [agg_tile, R]).T @ data[agg_tile, D]``. The output row block stays
+   resident in VMEM while consecutive tiles map to it (Pallas revisiting
+   semantics) and is flushed exactly once — the whole reduction reads the
+   edge data once and writes the output once, i.e. runs at HBM speed with
+   the arithmetic on the MXU.
+3. max/min use the same structure: a log2(agg_tile)-step segmented
+   shift-max produces each run's extremum at its last edge (edges within a
+   tile are receiver-sorted, so runs are contiguous), and the one-hot
+   matmul then *selects* (sums exactly one value per row) instead of
+   accumulating.
+
+Gradients are custom VJPs: sum/mean backward is a plain gather; max/min
+backward splits the cotangent among tied extrema (jax.ops.segment_max
+semantics), using the sum kernel for the tie counts.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 3.0e38  # finite stand-in for +/- inf inside kernels (f32 max ~3.4e38)
+
+
+class AggregationPlan(NamedTuple):
+    """Host-precomputed receiver-sorted layout (see build_aggregation_plan).
+
+    Shapes encode the static kernel config: R = counts.shape[1],
+    num_row_blocks = counts.shape[0], agg_tile = local_rows.shape[1],
+    num_tiles = local_rows.shape[0].
+    """
+
+    # None perm = identity: the edge data is already in plan order (the
+    # batcher's unified layout, graph/batching.py).
+    perm: Optional[jax.Array]  # [num_tiles * agg_tile] int32 (pad: E) or None
+    local_rows: jax.Array  # [num_tiles * agg_tile, 1] int32 in [0, R]; R = padding sentinel
+    local_rows_row: jax.Array  # [num_tiles * 8, agg_tile] int32; row-major copy
+    # (8x sublane-replicated so a (8, agg_tile) block is legal; kernels read
+    # row 0 to build the one-hot directly in [R, agg_tile] orientation --
+    # avoiding an in-kernel transpose of the one-hot operand)
+    tile_row_blocks: jax.Array  # [num_tiles] int32, non-decreasing
+    counts: jax.Array  # [num_row_blocks, R] int32 per-node in-degree
+
+
+def build_aggregation_plan(
+    receivers: np.ndarray,
+    edge_mask: np.ndarray,
+    num_nodes: int,
+    rows_per_block: int = 256,
+    agg_tile: int = 512,
+    num_tiles: Optional[int] = None,
+) -> AggregationPlan:
+    """numpy, host-side, once per batch. ``receivers`` may contain the
+    out-of-range padding value (>= num_nodes); those slots are excluded.
+
+    ``num_tiles`` fixes the static tile budget (for constant shapes across
+    batches); it must be >= the required tiles:
+    ceil((E_real + num_row_blocks * (agg_tile - 1)) / agg_tile) in the worst
+    case — callers should size it via `plan_num_tiles`.
+    """
+    r = rows_per_block
+    num_row_blocks = -(-num_nodes // r)
+    valid = np.logical_and(edge_mask, receivers < num_nodes)
+    idx = np.nonzero(valid)[0].astype(np.int32)
+    recv = receivers[idx]
+    order = np.argsort(recv, kind="stable")
+    idx = idx[order]
+    recv = recv[order]
+
+    blocks = recv // r  # non-decreasing
+    # Edges per row block, each padded up to a tile multiple.
+    counts_per_block = np.bincount(blocks, minlength=num_row_blocks)
+    padded_counts = ((counts_per_block + agg_tile - 1) // agg_tile) * agg_tile
+    # Every row block needs >= 1 tile so its output block gets initialized
+    # (an all-padding tile writes the neutral element).
+    padded_counts = np.maximum(padded_counts, agg_tile)
+    tiles_per_block = padded_counts // agg_tile
+    required_tiles = max(1, int(tiles_per_block.sum()))
+    if num_tiles is None:
+        num_tiles = required_tiles
+    assert num_tiles >= required_tiles, (
+        f"aggregation plan needs {required_tiles} tiles, budget is {num_tiles}"
+    )
+
+    e_sorted = num_tiles * agg_tile
+    e_total = len(receivers)
+    perm = np.full(e_sorted, e_total, np.int32)
+    local_rows = np.full(e_sorted, r, np.int32)
+    tile_row_blocks = np.zeros(num_tiles, np.int32)
+
+    cursor = 0
+    tile_cursor = 0
+    start = 0
+    for b in range(num_row_blocks):
+        c = int(counts_per_block[b])
+        if c > 0:
+            perm[cursor : cursor + c] = idx[start : start + c]
+            local_rows[cursor : cursor + c] = recv[start : start + c] - b * r
+        tile_row_blocks[tile_cursor : tile_cursor + tiles_per_block[b]] = b
+        cursor += padded_counts[b]
+        tile_cursor += tiles_per_block[b]
+        start += c
+    # Trailing spare tiles map to the last block (all-padding, re-writing it
+    # is harmless since their contribution is neutral).
+    if tile_cursor < num_tiles:
+        tile_row_blocks[tile_cursor:] = num_row_blocks - 1
+
+    counts = np.zeros(num_row_blocks * r, np.int32)
+    np.add.at(counts, recv, 1)
+
+    rows_2d = local_rows.reshape(num_tiles, agg_tile)
+    return AggregationPlan(
+        perm=perm,
+        local_rows=local_rows.reshape(num_tiles * agg_tile, 1),
+        local_rows_row=np.repeat(rows_2d, 8, axis=0).reshape(num_tiles * 8, agg_tile),
+        tile_row_blocks=tile_row_blocks,
+        counts=counts.reshape(num_row_blocks, r),
+    )
+
+
+def plan_num_tiles(
+    max_edges: int, num_nodes: int, rows_per_block: int = 256, agg_tile: int = 512
+) -> int:
+    """Static tile budget: worst case every row block needs padding."""
+    num_row_blocks = -(-num_nodes // rows_per_block)
+    return -(-max_edges // agg_tile) + num_row_blocks
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+
+def _sum_kernel(tile_rb_ref, rows_row_ref, data_ref, out_ref):
+    t = pl.program_id(0)
+    rows_row = rows_row_ref[0:1, :]  # [1, agg_tile]
+    r = out_ref.shape[0]
+
+    prev_rb = tile_rb_ref[jnp.maximum(t - 1, 0)]
+    is_start = jnp.logical_or(t == 0, tile_rb_ref[t] != prev_rb)
+
+    onehot_t = (
+        jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0) == rows_row
+    ).astype(data_ref.dtype)  # [R, agg_tile]; sentinel row R matches nothing
+
+    contrib = jax.lax.dot_general(
+        onehot_t,
+        data_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # exact f32 accumulation
+    )  # [R, D]
+
+    @pl.when(is_start)
+    def _():
+        out_ref[:] = contrib
+
+    @pl.when(jnp.logical_not(is_start))
+    def _():
+        out_ref[:] = out_ref[:] + contrib
+
+
+def _extremum_kernel(
+    tile_rb_ref, local_rows_ref, rows_row_ref, data_ref, out_ref, *, is_max: bool
+):
+    t = pl.program_id(0)
+    tile = data_ref.shape[0]
+    r = out_ref.shape[0]
+    rows2 = local_rows_ref[:]  # [agg_tile, 1]
+    neutral = -_BIG if is_max else _BIG
+
+    prev_rb = tile_rb_ref[jnp.maximum(t - 1, 0)]
+    is_start = jnp.logical_or(t == 0, tile_rb_ref[t] != prev_rb)
+
+    # Segmented prefix extremum over sorted runs via log-step shifts.
+    v = data_ref[:].astype(jnp.float32)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    combine = jnp.maximum if is_max else jnp.minimum
+    for k in range(int(math.log2(tile))):
+        s = 1 << k
+        v_sh = pltpu.roll(v, shift=s, axis=0)
+        r_sh = pltpu.roll(rows2, shift=s, axis=0)
+        valid = jnp.logical_and(pos >= s, r_sh == rows2)
+        v = combine(v, jnp.where(valid, v_sh, jnp.float32(neutral)))
+
+    # Last edge of each run now holds the full-run extremum.
+    nxt = pltpu.roll(rows2, shift=tile - 1, axis=0)  # circular -1
+    last = jnp.logical_or(nxt != rows2, pos == tile - 1)
+    real = rows2 < r
+    mark = jnp.logical_and(last, real)
+
+    # Non-marked positions contribute zeros, so the unmasked one-hot matmul
+    # sums exactly one (run-extremum) value per output row.
+    markf = mark.astype(jnp.float32)
+    marked = jnp.concatenate([jnp.where(mark, v, 0.0), markf], axis=1)  # [tile, D+1]
+
+    onehot_t = (
+        jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0) == rows_row_ref[0:1, :]
+    ).astype(jnp.float32)  # [R, agg_tile]
+
+    sel = jax.lax.dot_general(
+        onehot_t,
+        marked,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # exact f32 selection
+    )  # [R, D+1]; last column = presence count (0 or 1)
+    contrib = sel[:, :-1]
+    present = sel[:, -1:] > 0
+
+    @pl.when(is_start)
+    def _():
+        out_ref[:] = jnp.where(present, contrib, jnp.float32(neutral))
+
+    @pl.when(jnp.logical_not(is_start))
+    def _():
+        out_ref[:] = jnp.where(present, combine(out_ref[:], contrib), out_ref[:])
+
+
+def _run_kernel(kernel_body, plan: AggregationPlan, data_sorted: jax.Array) -> jax.Array:
+    num_tiles = plan.tile_row_blocks.shape[0]
+    agg_tile = plan.local_rows.shape[0] // num_tiles
+    num_row_blocks, r = plan.counts.shape
+    d = data_sorted.shape[1]
+
+    needs_cols = kernel_body is not _sum_kernel
+    in_specs = []
+    args = []
+    if needs_cols:  # extremum kernels use the column layout for shift logic
+        in_specs.append(
+            pl.BlockSpec((agg_tile, 1), lambda t, rb: (t, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(plan.local_rows)
+    in_specs.append(
+        pl.BlockSpec((8, agg_tile), lambda t, rb: (t, 0), memory_space=pltpu.VMEM)
+    )
+    args.append(plan.local_rows_row)
+    in_specs.append(
+        pl.BlockSpec((agg_tile, d), lambda t, rb: (t, 0), memory_space=pltpu.VMEM)
+    )
+    args.append(data_sorted)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # tile_row_blocks
+        grid=(num_tiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((r, d), lambda t, rb: (rb[t], 0), memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel_body,
+        out_shape=jax.ShapeDtypeStruct((num_row_blocks * r, d), jnp.float32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_tiles * agg_tile * r * d,
+            bytes_accessed=num_tiles * agg_tile * d * 4 + num_row_blocks * r * d * 4,
+            transcendentals=0,
+        ),
+    )(plan.tile_row_blocks, *args)
+    return out
+
+
+def _gather_sorted(data: jax.Array, plan: AggregationPlan, fill: float) -> jax.Array:
+    """[E, D] edge data -> receiver-sorted [E_sorted, D] (padding -> fill).
+    Identity when the data is already in plan order (perm is None)."""
+    if plan.perm is None:
+        return data
+    return jnp.take(data, plan.perm, axis=0, mode="fill", fill_value=fill)
+
+
+# ---------------------------------------------------------------------------
+# Public ops with custom VJPs
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def planned_segment_sum(data, receivers, plan, num_nodes: int, _mask_is_none: bool = True):
+    """Segment sum over [E, D] data via the sorted one-hot-matmul kernel.
+
+    ``data`` must already be zero at masked edges. ``receivers`` is only used
+    by the backward gather.
+    """
+    out = _run_kernel(_sum_kernel, plan, _gather_sorted(data, plan, 0.0))
+    return out[:num_nodes]
+
+
+def _planned_sum_fwd(data, receivers, plan, num_nodes, _m):
+    return planned_segment_sum(data, receivers, plan, num_nodes, _m), (receivers,)
+
+
+def _planned_sum_bwd(num_nodes, _m, res, g):
+    (receivers,) = res
+    g_data = jnp.take(g, receivers, axis=0, mode="fill", fill_value=0.0)
+    return g_data, None, None
+
+
+planned_segment_sum.defvjp(_planned_sum_fwd, _planned_sum_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def planned_segment_extremum(data, receivers, plan, num_nodes: int, is_max: bool = True):
+    """Segment max/min; masked edges must carry -/+_BIG in ``data``.
+    Empty segments yield 0 (torch-scatter fill), handled via plan.counts."""
+    kernel = functools.partial(_extremum_kernel, is_max=is_max)
+    out = _run_kernel(kernel, plan, _gather_sorted(data, plan, -_BIG if is_max else _BIG))
+    out = out[:num_nodes]
+    counts = plan.counts.reshape(-1)[:num_nodes]
+    empty = counts[:, None] == 0
+    # All-contributions-masked rows also read as +/-_BIG; treat as empty.
+    degenerate = jnp.abs(out) >= _BIG / 2
+    return jnp.where(jnp.logical_or(empty, degenerate), 0.0, out)
+
+
+def _planned_ext_fwd(data, receivers, plan, num_nodes, is_max):
+    out = planned_segment_extremum(data, receivers, plan, num_nodes, is_max)
+    return out, (data, receivers, plan, out)
+
+
+def _planned_ext_bwd(num_nodes, is_max, res, g):
+    data, receivers, plan, out = res
+    out_per_edge = jnp.take(out, receivers, axis=0, mode="fill", fill_value=_BIG)
+    is_ext = (data == out_per_edge).astype(jnp.float32)
+    ties = planned_segment_sum(is_ext, receivers, plan, num_nodes, True)
+    ties_per_edge = jnp.take(
+        jnp.maximum(ties, 1.0), receivers, axis=0, mode="fill", fill_value=1.0
+    )
+    g_per_edge = jnp.take(g, receivers, axis=0, mode="fill", fill_value=0.0)
+    return is_ext * g_per_edge / ties_per_edge, None, None
+
+
+planned_segment_extremum.defvjp(_planned_ext_fwd, _planned_ext_bwd)
+
+
+def planned_segment_reduce(
+    data: jax.Array,
+    receivers: jax.Array,
+    plan: AggregationPlan,
+    num_nodes: int,
+    reduction: str,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """torch-scatter-compatible reduce over the fast path. Accumulates in
+    fp32 and casts back to data's dtype (AMP-safe, like ops.segment)."""
+    orig_dtype = data.dtype
+    data = data.astype(jnp.float32)
+    if reduction in ("sum", "add", "mean"):
+        if mask is not None:
+            data = jnp.where(mask[:, None], data, 0.0)
+        out = planned_segment_sum(data, receivers, plan, num_nodes, mask is None)
+        if reduction == "mean":
+            if mask is None:
+                counts = plan.counts.reshape(-1)[:num_nodes].astype(jnp.float32)
+            else:
+                # Runtime masks (edge dropout) change the divisor; count the
+                # surviving edges with the same kernel.
+                ones = jax.lax.stop_gradient(
+                    jnp.broadcast_to(mask[:, None].astype(jnp.float32), (mask.shape[0], 8))
+                )
+                counts = planned_segment_sum(ones, receivers, plan, num_nodes, True)[:, 0]
+            out = out / jnp.maximum(counts, 1.0)[:, None]
+    elif reduction in ("max", "min"):
+        is_max = reduction == "max"
+        neutral = -_BIG if is_max else _BIG
+        if mask is not None:
+            data = jnp.where(mask[:, None], data, neutral)
+        out = planned_segment_extremum(data, receivers, plan, num_nodes, is_max)
+    else:
+        raise ValueError(f"Unknown reduction '{reduction}'")
+    return out.astype(orig_dtype)
+
+
+def plan_from_adjacency(adj) -> AggregationPlan:
+    """View an AdjacencyStruct's precomputed layout (graph/batching.py) as an
+    identity-order AggregationPlan: data indexed by edge slot is already
+    receiver-plan-ordered, so no device-side permutation is needed."""
+    return AggregationPlan(
+        perm=None,
+        local_rows=adj.local_rows,
+        local_rows_row=adj.local_rows_row,
+        tile_row_blocks=adj.tile_row_blocks,
+        counts=adj.agg_counts,
+    )
+
+
+def adjacency_segment_reduce(
+    data: jax.Array,
+    adj,
+    num_nodes: int,
+    reduction: str,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Fast masked segment reduce over a batch's unified edge layout.
+
+    ``data``: [E_pad, ...] per-edge values in edge-slot order. Trailing dims
+    are flattened for the kernel and restored after.
+    """
+    plan = plan_from_adjacency(adj)
+    trailing = data.shape[1:]
+    if data.ndim != 2:
+        data = data.reshape(data.shape[0], -1)
+    out = planned_segment_reduce(data, adj.receivers, plan, num_nodes, reduction, mask)
+    if trailing != out.shape[1:]:
+        out = out.reshape((num_nodes,) + trailing)
+    return out

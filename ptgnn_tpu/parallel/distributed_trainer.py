@@ -1,0 +1,193 @@
+"""Distributed (data-parallel) model trainer.
+
+TPU-native counterpart of the reference's DistributedModelTrainer
+(ptgnn/baseneuralmodel/distributedtrainer.py:28-397). Architectural deltas,
+by design:
+
+* Single-controller SPMD instead of ``mp.spawn`` + NCCL process groups: one
+  Python process drives every local device through a ``Mesh``; multi-host
+  runs start the same program per host after ``jax.distributed.initialize``
+  (replacing the hardcoded localhost:12355 rendezvous,
+  distributedtrainer.py:283-285).
+* The gradient all-reduce is a ``psum`` inside ONE compiled step program
+  (see parallel/dp.py) rather than DDP autograd hooks.
+* Uneven inputs: instead of ``DDP.join(throw_on_early_termination=True)``
+  (distributedtrainer.py:55), the final short group of minibatches is padded
+  with fully masked empty batches — step counts agree across devices by
+  construction, losses/metrics are weighted by real counts.
+* ZeRO-1 (the reference's ZeroRedundancyOptimizer wrapper,
+  typilus/traindistributed.py:50-72) is a sharding annotation on the Adam
+  moments, not a wrapper class.
+"""
+from __future__ import annotations
+
+import logging
+import math
+import time
+from typing import Any, Dict, Iterable, List, Optional
+
+import jax
+import numpy as np
+import optax
+from jax.sharding import Mesh
+
+from ptgnn_tpu.core.metrics import MetricsAccumulator
+from ptgnn_tpu.core.trainer import ModelTrainer
+from ptgnn_tpu.parallel.dp import DataParallel, stack_minibatches
+
+
+def default_data_mesh(num_devices: Optional[int] = None) -> Mesh:
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), ("data",))
+
+
+class DistributedModelTrainer(ModelTrainer):
+    """ModelTrainer with the optimization step compiled as one SPMD program
+    over a ``data`` mesh axis."""
+
+    LOGGER = logging.getLogger(__name__)
+
+    def __init__(self, *args, mesh: Optional[Mesh] = None, zero1: bool = True, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._mesh = mesh if mesh is not None else default_data_mesh()
+        self._zero1 = zero1
+        self._dp: Optional[DataParallel] = None
+        self._empty_minibatch_template: Optional[Dict[str, Any]] = None
+
+    @property
+    def num_devices(self) -> int:
+        return self._mesh.shape["data"]
+
+    # ------------------------------------------------------------------
+    def _build_step_functions(self, optimizer: optax.GradientTransformation):
+        self._dp = DataParallel(
+            self.neural_module,
+            optimizer,
+            self._mesh,
+            enable_amp=self._enable_amp,
+            zero1=self._zero1,
+        )
+        self._train_step_fn = self._dp.build_train_step()
+        self._eval_step_fn = self._dp.build_eval_step()
+
+    def _empty_minibatch(self) -> Dict[str, Any]:
+        """A fully masked batch used to pad the last device group."""
+        if self._empty_minibatch_template is None:
+            self._empty_minibatch_template = self.model.finalize_minibatch(
+                self.model.initialize_minibatch()
+            )
+        return self._empty_minibatch_template
+
+    def _group_minibatches(self, minibatch_iterator):
+        """Yield (stacked group of num_devices minibatches, raw sample lists)."""
+        group: List[Dict[str, Any]] = []
+        raw: List[Any] = []
+        for mb_data, raw_samples in minibatch_iterator:
+            group.append(mb_data)
+            raw.extend(raw_samples)
+            if len(group) == self.num_devices:
+                yield stack_minibatches(group), raw
+                group, raw = [], []
+        if group:
+            while len(group) < self.num_devices:
+                group.append(self._empty_minibatch())
+            yield stack_minibatches(group), raw
+
+    # ------------------------------------------------------------------
+    def _run_training(
+        self, training_tensors, epoch, optimizer, opt_state, scheduler, parallelize,
+        shuffle_input=True,
+    ):
+        sum_epoch_loss, num_minibatches, num_samples = 0.0, 0, 0
+        metrics_acc = MetricsAccumulator()
+        start_time = time.time()
+        rng = jax.random.PRNGKey(self._seed * 1_000_003 + epoch)
+        params = self.params
+        for step_idx, (stacked_mb, raw_samples) in enumerate(
+            self._group_minibatches(
+                self.model.minibatch_iterator(
+                    training_tensors(),
+                    max_minibatch_size=self._minibatch_size,
+                    yield_partial_minibatches=False,
+                    shuffle_input=shuffle_input,
+                    parallelize=parallelize,
+                )
+            )
+        ):
+            lr_factor = 1.0 if scheduler is None else scheduler.step(epoch, step_idx)
+            stacked_mb = self._dp.device_put_batch(stacked_mb)
+            params, opt_state, loss, metrics = self._train_step_fn(
+                params, opt_state, stacked_mb, jax.random.fold_in(rng, step_idx), lr_factor
+            )
+            sum_epoch_loss += float(loss)
+            num_minibatches += 1
+            num_samples += len(raw_samples)
+            metrics_acc.update(metrics)
+        self.params = params
+        if not np.isfinite(sum_epoch_loss):
+            raise Exception("Loss has a NaN value.")
+
+        elapsed = time.time() - start_time
+        assert num_minibatches > 0, "No training minibatches were created."
+        self.LOGGER.info(
+            "Training complete in %.1fsec [%.2f samples/sec] on %s devices.",
+            elapsed, num_samples / elapsed, self.num_devices,
+        )
+        self.LOGGER.info("Epoch %i: Train Loss %.2f", epoch + 1, sum_epoch_loss / num_minibatches)
+        train_metrics = self.neural_module.finalize_metrics(metrics_acc.totals())
+        for hook in self._train_epoch_end_hooks:
+            hook(self.model, self.neural_module, epoch, train_metrics)
+        return opt_state
+
+    def _run_validation(self, validation_tensors, epoch, best_target_metric, parallelize):
+        sum_epoch_loss, num_minibatches, num_samples = 0.0, 0, 0
+        metrics_acc = MetricsAccumulator()
+        for stacked_mb, raw_samples in self._group_minibatches(
+            self.model.minibatch_iterator(
+                validation_tensors(),
+                max_minibatch_size=self._minibatch_size,
+                yield_partial_minibatches=True,
+                shuffle_input=False,
+                parallelize=parallelize,
+            )
+        ):
+            stacked_mb = self._dp.device_put_batch(stacked_mb)
+            loss, metrics = self._eval_step_fn(self.params, stacked_mb)
+            sum_epoch_loss += float(loss)
+            num_minibatches += 1
+            num_samples += len(raw_samples)
+            metrics_acc.update(metrics)
+        assert num_samples > 0, "No validation data was found."
+        validation_loss = sum_epoch_loss / num_minibatches
+        self.LOGGER.info("Epoch %i: Valid Loss %.2f", epoch + 1, validation_loss)
+
+        validation_metrics = self.neural_module.finalize_metrics(metrics_acc.totals())
+        for hook in self._validation_epoch_end_hooks:
+            hook(self.model, self.neural_module, epoch, validation_metrics)
+
+        if self._target_metric is not None:
+            target_metric = validation_metrics[self._target_metric]
+        else:
+            target_metric = validation_loss
+        if self._target_metric_higher_is_better:
+            improved = target_metric > best_target_metric
+        else:
+            improved = target_metric < best_target_metric
+        return target_metric, improved, validation_metrics
+
+
+def initialize_multi_host(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Join a multi-host run (replaces the reference's process-group init,
+    distributedtrainer.py:283-285). Call before creating the trainer; each
+    host then sees its local devices plus the global mesh."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )

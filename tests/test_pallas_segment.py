@@ -1,0 +1,153 @@
+"""Pallas sorted-segment kernels vs the XLA reference segment ops.
+
+On CPU these run through the Pallas interpreter (`interpret=True` is forced
+via env detection inside the test); values and gradients must match the
+masked XLA ops exactly (fp32)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ptgnn_tpu.ops import segment_max, segment_mean, segment_min, segment_sum
+from ptgnn_tpu.ops.pallas import segment_kernels as sk
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    if jax.default_backend() != "tpu":
+        import jax.experimental.pallas as pl
+
+        real_call = pl.pallas_call
+
+        def patched(*args, **kwargs):
+            kwargs["interpret"] = True
+            kwargs.pop("cost_estimate", None)
+            return real_call(*args, **kwargs)
+
+        monkeypatch.setattr(sk.pl, "pallas_call", patched)
+    yield
+
+
+def make_case(seed=0, E=700, N=100, D=64, R=32, tile=128, pad_edges=60):
+    rng = np.random.RandomState(seed)
+    receivers = rng.randint(0, N, E).astype(np.int32)
+    full_recv = np.concatenate([receivers, np.full(pad_edges, N, np.int32)])
+    mask = np.concatenate([np.ones(E, bool), np.zeros(pad_edges, bool)])
+    data = rng.randn(E + pad_edges, D).astype(np.float32)
+    plan = sk.build_aggregation_plan(
+        full_recv, mask, N, rows_per_block=R, agg_tile=tile,
+        num_tiles=sk.plan_num_tiles(E + pad_edges, N, R, tile),
+    )
+    plan = jax.tree_util.tree_map(jnp.asarray, plan)
+    return data, full_recv, mask, plan, N
+
+
+@pytest.mark.parametrize("reduction", ["sum", "mean", "max", "min"])
+def test_planned_reduce_matches_reference(reduction):
+    data, recv, mask, plan, N = make_case()
+    out = np.asarray(
+        sk.planned_segment_reduce(
+            jnp.asarray(data), jnp.asarray(recv), plan, N, reduction, jnp.asarray(mask)
+        )
+    )
+    ref_fn = {
+        "sum": segment_sum, "mean": segment_mean, "max": segment_max, "min": segment_min,
+    }[reduction]
+    expected = np.asarray(
+        ref_fn(jnp.asarray(data), jnp.asarray(recv), N, mask=jnp.asarray(mask))
+    )
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_empty_and_single_segment_nodes():
+    """Nodes with 0 edges -> 0; heavy-hitter nodes spanning tiles."""
+    rng = np.random.RandomState(3)
+    N, D, R, tile = 40, 16, 16, 64
+    # node 5 gets 200 edges (spans multiple tiles); nodes 30..39 get none
+    receivers = np.concatenate([np.full(200, 5), rng.randint(0, 30, 100)]).astype(np.int32)
+    mask = np.ones(len(receivers), bool)
+    data = rng.randn(len(receivers), D).astype(np.float32)
+    plan = jax.tree_util.tree_map(
+        jnp.asarray,
+        sk.build_aggregation_plan(receivers, mask, N, R, tile,
+                                  num_tiles=sk.plan_num_tiles(len(receivers), N, R, tile)),
+    )
+    for reduction in ("sum", "max"):
+        out = np.asarray(
+            sk.planned_segment_reduce(
+                jnp.asarray(data), jnp.asarray(receivers), plan, N, reduction,
+                jnp.asarray(mask),
+            )
+        )
+        ref = {"sum": segment_sum, "max": segment_max}[reduction]
+        expected = np.asarray(ref(jnp.asarray(data), jnp.asarray(receivers), N))
+        np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
+        assert np.allclose(out[30:], 0.0)
+
+
+@pytest.mark.parametrize("reduction", ["sum", "mean", "max"])
+def test_planned_reduce_gradients(reduction):
+    data, recv, mask, plan, N = make_case(seed=7, E=300, N=50, D=16, R=16, tile=64, pad_edges=20)
+    jd, jr, jm = jnp.asarray(data), jnp.asarray(recv), jnp.asarray(mask)
+
+    def fast(d):
+        return jnp.sum(sk.planned_segment_reduce(d, jr, plan, N, reduction, jm) ** 2)
+
+    ref_fn = {"sum": segment_sum, "mean": segment_mean, "max": segment_max}[reduction]
+
+    def ref(d):
+        return jnp.sum(ref_fn(d, jr, N, mask=jm) ** 2)
+
+    g_fast = np.asarray(jax.grad(fast)(jd))
+    g_ref = np.asarray(jax.grad(ref)(jd))
+    np.testing.assert_allclose(g_fast, g_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_batch_layout_aggregation_matches_fallback():
+    """The batcher's unified layout drives the kernel without any gather;
+    results must equal the XLA fallback on the same batch."""
+    from ptgnn_tpu.graph.batching import GraphBatcher
+    from ptgnn_tpu.graph.structs import BatchPadding, TensorizedGraphData
+
+    rng = np.random.RandomState(0)
+    pad = BatchPadding(max_nodes=96, max_edge_slots=4096, max_graphs=4,
+                       edge_tile=32, agg_rows=32)
+    b = GraphBatcher(3, pad, True, True)
+    mb = b.initialize()
+    for n in (20, 30, 25):
+        adj = [
+            (rng.randint(0, n, 15).astype(np.int32), rng.randint(0, n, 15).astype(np.int32))
+            for _ in range(3)
+        ]
+        g = TensorizedGraphData(num_nodes=n, node_tensorized_data=[0] * n,
+                                adjacency_lists=adj, edge_features=None, reference_nodes={})
+        assert b.can_add(g, mb)
+        b.extend(g, mb)
+    batch = b.finalize(mb, node_data={}, reference_names=[])
+    adj = jax.tree_util.tree_map(jnp.asarray, batch.adjacency)
+
+    # layout invariants: tiles pure in type and row block, receivers sorted
+    # within (block, type) segments
+    tile = pad.edge_tile
+    et = np.asarray(batch.adjacency.edge_types).reshape(-1, tile)
+    assert all(len(set(row)) == 1 for row in et)
+    rb = np.asarray(batch.adjacency.tile_row_blocks)
+    assert (np.diff(rb) >= 0).all()
+    recv = np.asarray(batch.adjacency.receivers)
+    lr = np.asarray(batch.adjacency.local_rows)[:, 0]
+    mask = np.asarray(batch.adjacency.mask)
+    np.testing.assert_array_equal(
+        lr[mask], recv[mask] - np.repeat(rb, tile)[mask] * pad.agg_rows
+    )
+
+    data = jnp.asarray(rng.randn(len(recv), 16).astype(np.float32))
+    for reduction in ("sum", "mean", "max", "min"):
+        fast = np.asarray(
+            sk.adjacency_segment_reduce(data, adj, pad.max_nodes, reduction, adj.mask)
+        )
+        from ptgnn_tpu.ops import segment_reduce
+
+        ref = np.asarray(
+            segment_reduce(data, adj.receivers, pad.max_nodes, reduction, mask=adj.mask)
+        )
+        np.testing.assert_allclose(fast, ref, rtol=1e-5, atol=1e-5, err_msg=reduction)
