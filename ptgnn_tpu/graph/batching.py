@@ -280,12 +280,24 @@ class GraphBatcher:
         if len(receivers_r):
             np.add.at(counts, receivers_r, 1)
 
+        # Transpose type map: fwd type t <-> backward type T+t, self -> self.
+        # Lets gradients re-derive sender-side scatters as receiver-keyed
+        # aggregations over the materialized transpose edges (ops/fused_mp.py).
+        tile_types_transposed = None
+        if self.introduce_backwards_edges:
+            base = self.num_fwd_edge_types
+            tt = tile_types
+            tile_types_transposed = np.where(
+                tt < base, tt + base, np.where(tt < 2 * base, tt - base, tt)
+            ).astype(np.int32)
+
         adjacency = AdjacencyStruct(
             senders=senders,
             receivers=receivers,
             edge_types=edge_types,
             tile_types=tile_types,
             mask=edge_mask,
+            tile_types_transposed=tile_types_transposed,
             local_rows=local_rows.reshape(e_pad, 1),
             local_rows_row=np.repeat(
                 local_rows.reshape(n_tiles, tile), 8, axis=0

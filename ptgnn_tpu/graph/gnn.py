@@ -85,7 +85,7 @@ class GraphNeuralNetwork(Module):
                 fold(rng, 7919), 1.0 - self.edge_dropout_rate, ctx.adjacency.mask.shape
             )
             adj = ctx.adjacency._replace(mask=jnp.logical_and(ctx.adjacency.mask, keep))
-            ctx = ctx._replace(adjacency=adj)
+            ctx = ctx._replace(adjacency=adj, edge_mask_is_static=False)
 
         all_states = [node_representations]
         stash: Dict[int, jax.Array] = {}

@@ -39,10 +39,55 @@ class GraphContext(NamedTuple):
     node_mask: Any  # [N_pad] bool
     graph_mask: Any  # [G_pad] bool
     references: Dict[str, ReferenceSet]
+    # False when runtime edge dropout replaced the static batch mask; the
+    # scatter-free fused backward (ops/fused_mp.py) requires the static mask.
+    edge_mask_is_static: bool = True
 
     @property
     def max_graphs(self) -> int:
         return self.graph_mask.shape[0]
+
+
+def fused_linear_message_aggregation_or_none(
+    weight_stack,
+    node_states,
+    ctx: "GraphContext",
+    *,
+    reduction,
+    use_target_state: bool,
+    dropout_rate: float,
+    train: bool,
+    rng,
+):
+    """Scatter-free fused message+aggregate (ops/fused_mp.py) when the batch
+    layout and layer configuration allow it; None -> caller falls back."""
+    if not isinstance(reduction, str) or reduction not in (
+        "sum", "add", "mean", "max", "min",
+    ):
+        return None
+    if ctx.edge_features is not None:
+        return None
+    if not _use_pallas_aggregation():
+        return None
+    from ptgnn_tpu.ops.fused_mp import can_fuse, fused_typed_message_aggregation
+
+    if not can_fuse(ctx.adjacency, ctx.edge_mask_is_static):
+        return None
+    keep = 1.0 - (dropout_rate if train else 0.0)
+    seed = None
+    if keep < 1.0:
+        import jax.numpy as jnp
+
+        seed = jax.random.bits(rng, dtype=jnp.uint32)
+    return fused_typed_message_aggregation(
+        node_states,
+        weight_stack,
+        (ctx.adjacency, seed),
+        node_states.shape[0],
+        reduction,
+        use_target_state,
+        keep,
+    )
 
 
 class AbstractMessagePassingLayer(Module):

@@ -70,16 +70,28 @@ class EGCMessagePassingLayer(AbstractMessagePassingLayer):
             params["weight_coeffs"], node_states
         ).reshape(n, h, b, 1)
 
-        source_states = jnp.take(node_states, adj.senders, axis=0)  # [E, D]
-        source_states = dropout(fold(rng, 0), source_states, self.dropout_rate, train)
-        base_messages = typed_tile_matmul(
-            source_states, params["bases"], adj.tile_types, adj.edge_tile
-        )  # [E, B*O]
-        messages = base_messages.reshape(-1, h, b, o // h)
+        from ptgnn_tpu.graph.messagepassing.base import (
+            fused_linear_message_aggregation_or_none,
+        )
 
-        aggregated = self._aggregate_messages(
-            messages, ctx, n, self.aggregation_fn
-        )  # [N, h, b, O/h]
+        aggregated = fused_linear_message_aggregation_or_none(
+            params["bases"], node_states, ctx, reduction=self.aggregation_fn,
+            use_target_state=False, dropout_rate=self.dropout_rate,
+            train=train, rng=fold(rng, 0),
+        )
+        if aggregated is not None:
+            aggregated = aggregated.reshape(n, h, b, o // h)
+        else:
+            source_states = jnp.take(node_states, adj.senders, axis=0)  # [E, D]
+            source_states = dropout(fold(rng, 0), source_states, self.dropout_rate, train)
+            base_messages = typed_tile_matmul(
+                source_states, params["bases"], adj.tile_types, adj.edge_tile
+            )  # [E, B*O]
+            messages = base_messages.reshape(-1, h, b, o // h)
+
+            aggregated = self._aggregate_messages(
+                messages, ctx, n, self.aggregation_fn
+            )  # [N, h, b, O/h]
         return (aggregated * node_weights).sum(axis=-2).reshape(n, o)
 
     @property

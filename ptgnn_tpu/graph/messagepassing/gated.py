@@ -68,16 +68,28 @@ class GatedMessagePassingLayer(AbstractMessagePassingLayer):
         rng: Optional[jax.Array] = None,
     ) -> jax.Array:
         adj = ctx.adjacency
-        msg_input = jnp.take(node_states, adj.senders, axis=0)  # [E, D]
-        if self.edge_feature_dimension > 0:
-            msg_input = jnp.concatenate([msg_input, ctx.edge_features], axis=-1)
-        msg_input = dropout(fold(rng, 0), msg_input, self.dropout_rate, train)
-        messages = typed_tile_matmul(
-            msg_input, params["message_weights"], adj.tile_types, adj.edge_tile
-        )  # [E, M]
-        aggregated = self._aggregate_messages(
-            messages, ctx, node_states.shape[0], self.aggregation_fn
-        )  # [N, M]
+        aggregated = None
+        if self.edge_feature_dimension == 0:
+            from ptgnn_tpu.graph.messagepassing.base import (
+                fused_linear_message_aggregation_or_none,
+            )
+
+            aggregated = fused_linear_message_aggregation_or_none(
+                params["message_weights"], node_states, ctx,
+                reduction=self.aggregation_fn, use_target_state=False,
+                dropout_rate=self.dropout_rate, train=train, rng=fold(rng, 0),
+            )
+        if aggregated is None:
+            msg_input = jnp.take(node_states, adj.senders, axis=0)  # [E, D]
+            if self.edge_feature_dimension > 0:
+                msg_input = jnp.concatenate([msg_input, ctx.edge_features], axis=-1)
+            msg_input = dropout(fold(rng, 0), msg_input, self.dropout_rate, train)
+            messages = typed_tile_matmul(
+                msg_input, params["message_weights"], adj.tile_types, adj.edge_tile
+            )  # [E, M]
+            aggregated = self._aggregate_messages(
+                messages, ctx, node_states.shape[0], self.aggregation_fn
+            )  # [N, M]
         return self.state_update.apply(params["state_update"], aggregated, node_states)
 
     @property

@@ -146,6 +146,22 @@ class MlpMessagePassingLayer(AbstractMessagePassingLayer):
         rng: Optional[jax.Array] = None,
     ) -> jax.Array:
         adj = ctx.adjacency
+        aggregated = None
+        if len(self.message_mlp.dims) == 2 and ctx.edge_features is None:
+            # Single-linear message fn: the scatter-free fused path applies.
+            from ptgnn_tpu.graph.messagepassing.base import (
+                fused_linear_message_aggregation_or_none,
+            )
+
+            aggregated = fused_linear_message_aggregation_or_none(
+                params["message_mlp"]["weights_0"], node_states, ctx,
+                reduction=self.aggregation_fn,
+                use_target_state=self.use_target_state_as_message_input,
+                dropout_rate=self.message_mlp.dropout_rate, train=train,
+                rng=fold(rng, 0),
+            )
+        if aggregated is not None:
+            return self._finish(params, aggregated, train=train, rng=rng)
         msg_input = jnp.take(node_states, adj.senders, axis=0)
         if self.use_target_state_as_message_input:
             # Padding receivers point out of range; clip for the gather (the
@@ -173,10 +189,12 @@ class MlpMessagePassingLayer(AbstractMessagePassingLayer):
             aggregated = self._aggregate_messages(
                 messages, ctx, node_states.shape[0], self.aggregation_fn
             )
+        return self._finish(params, aggregated, train=train, rng=rng)
 
+    def _finish(self, params, aggregated, *, train, rng):
+        """Post-aggregation update (activation -> LN -> dense -> dropout)."""
         if self.message_activation is not None:
             aggregated = self.message_activation(aggregated)
-
         out = aggregated
         if self.layer_norm is not None:
             out = self.layer_norm.apply(params["layer_norm"], out)

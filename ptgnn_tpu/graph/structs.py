@@ -138,6 +138,7 @@ class AdjacencyStruct(NamedTuple):
     edge_types: Any  # [E_pad] int32
     tile_types: Any  # [E_pad // edge_tile] int32 (single type per tile)
     mask: Any  # [E_pad] bool
+    tile_types_transposed: Any = None  # [n_tiles] int32 type of each tile's transpose
     local_rows: Any = None  # [E_pad, 1] int32 receiver - block*R (padding: R)
     local_rows_row: Any = None  # [n_tiles * 8, edge_tile] int32 (sublane-replicated)
     tile_row_blocks: Any = None  # [n_tiles] int32 (single row block per tile)

@@ -1,0 +1,294 @@
+"""Fused typed-message computation + aggregation with a scatter-free VJP.
+
+The hot loop of every message-passing layer is
+
+    gather source (and target) node states per edge
+    -> per-edge-type linear message
+    -> masked segment reduce to receivers.
+
+Forward-mode, each piece is fast on TPU (small-table gathers, tile-batched
+MXU matmuls, the sorted-segment Pallas kernel). The problem is the BACKWARD:
+the VJP of the per-edge gathers is a scatter-add keyed by *senders*, which
+XLA serializes (~8 ms per [400k, 64] on v5e) — it dominated the training
+step twice per layer.
+
+This op removes both scatters using the **materialized transpose edges**:
+the batcher stores, for every edge (u -> v, t), its reverse (v -> u, t+T)
+(self edges are their own transpose). The sender-keyed gradient
+
+    d x[u] = sum over edges e with src(e) = u of d msg_input_src[e]
+
+is re-derived by walking the SAME edge layout and treating each edge
+e' = (v -> u, t') as the transpose carrier of e = (u -> v, tau(t')): every
+quantity of e (its message, its routing weights, its dropout mask) is
+recomputable from per-node arrays gathered through e''s own endpoints, so
+the sum becomes a *receiver*-keyed aggregation — the fast kernel again.
+The target-keyed gradient is directly a receiver-keyed aggregation.
+
+Net effect: forward and backward are built exclusively from fast gathers,
+tile matmuls, and the Pallas kernel; no [E, D] scatter or permutation ever
+runs, and no [E, D] residuals are saved (backward recomputes messages —
+cheaper than materializing them).
+
+Constraints (callers fall back to the plain path otherwise):
+* single linear message function (bias-free; the reference's GGNN, EGC, and
+  default MLP-MP configs);
+* every edge's transpose present (``introduce_backwards_edges=True``);
+* the edge mask is the batch's static mask (no runtime edge dropout).
+
+Message-input dropout is supported via a pair-symmetric counter-based hash
+(mask keyed on the canonical (u, v, fwd-type) identity), so the transpose
+recompute sees the identical mask. This differs from the reference's
+position-keyed iid dropout only in that an edge and its reverse share masks.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ptgnn_tpu.ops.pallas.segment_kernels import adjacency_segment_reduce
+from ptgnn_tpu.ops.typed_linear import typed_tile_matmul
+
+_BIG = 3.0e38
+
+
+def _hash_u32(x: jax.Array) -> jax.Array:
+    """xorshift-multiply avalanche hash (uint32)."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _canonical_edge_key(adj) -> jax.Array:
+    """[E] uint32 key identical for an edge and its transpose."""
+    tile = adj.edge_tile
+    t = adj.edge_types
+    t_trans = jnp.repeat(adj.tile_types_transposed, tile)
+    is_fwd = t <= t_trans  # fwd types have smaller ids; self maps to itself
+    u = jnp.where(is_fwd, adj.senders, adj.receivers).astype(jnp.uint32)
+    v = jnp.where(is_fwd, adj.receivers, adj.senders).astype(jnp.uint32)
+    t_fwd = jnp.minimum(t, t_trans).astype(jnp.uint32)
+    return _hash_u32(
+        _hash_u32(u * jnp.uint32(2654435761))
+        ^ _hash_u32(v * jnp.uint32(2246822519))
+        ^ _hash_u32(t_fwd * jnp.uint32(3266489917))
+    )
+
+
+def _sym_dropout_mask(
+    seed: jax.Array, edge_key: jax.Array, num_cols: int, rate: float
+) -> jax.Array:
+    """[E, num_cols] keep mask from the pair-symmetric edge key."""
+    col = jnp.arange(num_cols, dtype=jnp.uint32)[None, :]
+    h = _hash_u32((edge_key[:, None] ^ seed) + col * jnp.uint32(0x9E3779B9))
+    threshold = jnp.uint32(int(rate * 0xFFFFFFFF))
+    return h >= threshold
+
+
+def _route_cotangent(
+    g_node, msgs, reduction: str, recv, mask, counts_flat, out_node, ties_node
+):
+    """Per-edge message cotangent from per-node arrays (gathered by recv)."""
+    g_e = jnp.take(g_node, recv, axis=0, mode="fill", fill_value=0.0)
+    if reduction in ("sum", "add"):
+        d_msgs = g_e
+    elif reduction == "mean":
+        cnt = jnp.take(counts_flat, recv, mode="fill", fill_value=1.0)
+        d_msgs = g_e / jnp.maximum(cnt, 1.0)[:, None]
+    else:  # max / min: split among tied extrema
+        out_e = jnp.take(out_node, recv, axis=0, mode="fill", fill_value=_BIG)
+        ties_e = jnp.take(ties_node, recv, axis=0, mode="fill", fill_value=1.0)
+        indicator = (msgs == out_e).astype(jnp.float32)
+        d_msgs = indicator * g_e / jnp.maximum(ties_e, 1.0)
+    return jnp.where(mask[:, None], d_msgs, 0.0)
+
+
+def _forward_parts(
+    x, weight_stack, adj, *, use_target_state: bool, drop_mask, tile_types
+):
+    """Gather inputs, apply dropout, compute messages (primary or transpose
+    orientation depending on (senders, receivers, tile_types) given)."""
+    senders, receivers = adj
+    n = x.shape[0]
+    # Clamp: padding receivers are out of range (and appear as "senders" in
+    # the transpose orientation); the rows are masked downstream.
+    src = jnp.take(x, jnp.minimum(senders, n - 1), axis=0)
+    if use_target_state:
+        safe_recv = jnp.minimum(receivers, n - 1)
+        tgt = jnp.take(x, safe_recv, axis=0)
+        inp = jnp.concatenate([src, tgt], axis=-1)
+    else:
+        inp = src
+    if drop_mask is not None:
+        keep = drop_mask[2]
+        inp = jnp.where(
+            _sym_dropout_mask(drop_mask[0], drop_mask[1], inp.shape[1], 1.0 - keep),
+            inp / jnp.asarray(keep, inp.dtype),
+            jnp.zeros((), inp.dtype),
+        )
+    tile = senders.shape[0] // tile_types.shape[0]
+    msgs = typed_tile_matmul(inp, weight_stack, tile_types, tile)
+    return inp, msgs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def fused_typed_message_aggregation(
+    node_states,  # [N, D]
+    weight_stack,  # [T_total, Din, M]
+    adj_and_rng,  # (AdjacencyStruct, seed uint32 array or None)
+    num_nodes: int,
+    reduction: str,
+    use_target_state: bool,
+    dropout_keep: float,  # 1.0 = no dropout
+):
+    out, _ = _fused_fwd_impl(
+        node_states, weight_stack, adj_and_rng, num_nodes, reduction,
+        use_target_state, dropout_keep,
+    )
+    return out
+
+
+def _fused_fwd_impl(
+    node_states, weight_stack, adj_and_rng, num_nodes, reduction,
+    use_target_state, dropout_keep,
+):
+    adj, seed = adj_and_rng
+    xf = node_states
+    drop = None
+    if dropout_keep < 1.0:
+        drop = (seed, _canonical_edge_key(adj), dropout_keep)
+    _, msgs = _forward_parts(
+        xf, weight_stack, (adj.senders, adj.receivers),
+        use_target_state=use_target_state, drop_mask=drop, tile_types=adj.tile_types,
+    )
+    out = adjacency_segment_reduce(msgs, adj, num_nodes, reduction, mask=adj.mask)
+    return out, drop
+
+
+def _fused_fwd(
+    node_states, weight_stack, adj_and_rng, num_nodes, reduction,
+    use_target_state, dropout_keep,
+):
+    out, _ = _fused_fwd_impl(
+        node_states, weight_stack, adj_and_rng, num_nodes, reduction,
+        use_target_state, dropout_keep,
+    )
+    return out, (node_states, weight_stack, adj_and_rng, out)
+
+
+def _fused_bwd(num_nodes, reduction, use_target_state, dropout_keep, res, g):
+    node_states, weight_stack, (adj, seed), out = res
+    n, d = node_states.shape
+    g = g.astype(jnp.float32)
+    out_f = out.astype(jnp.float32)
+    is_extremum = reduction in ("max", "min")
+
+    drop = None
+    edge_key = None
+    if dropout_keep < 1.0:
+        edge_key = _canonical_edge_key(adj)
+        drop = (seed, edge_key, dropout_keep)
+
+    counts_flat = None
+    if reduction == "mean":
+        counts_flat = adj.agg_counts.reshape(-1)[:num_nodes].astype(jnp.float32)
+
+    # ---- primary orientation: recompute inputs/messages; dW; target part --
+    inp, msgs = _forward_parts(
+        node_states, weight_stack, (adj.senders, adj.receivers),
+        use_target_state=use_target_state, drop_mask=drop, tile_types=adj.tile_types,
+    )
+    msgs_f = msgs.astype(jnp.float32)
+
+    ties = None
+    if is_extremum:
+        out_e = jnp.take(out_f, adj.receivers, axis=0, mode="fill", fill_value=_BIG)
+        indicator = jnp.logical_and(msgs_f == out_e, adj.mask[:, None]).astype(
+            jnp.float32
+        )
+        ties = adjacency_segment_reduce(indicator, adj, num_nodes, "sum", mask=adj.mask)
+
+    d_msgs = _route_cotangent(
+        g, msgs_f, reduction, adj.receivers, adj.mask, counts_flat, out_f, ties
+    )
+
+    # dW: per-tile inp^T @ d_msgs, segment-summed by tile type.
+    tile = adj.edge_tile
+    n_tiles = adj.tile_types.shape[0]
+    din = inp.shape[1]
+    m = d_msgs.shape[1]
+    inp_t = inp.astype(jnp.float32).reshape(n_tiles, tile, din)
+    dm_t = d_msgs.reshape(n_tiles, tile, m)
+    per_tile_dw = jax.lax.dot_general(
+        inp_t, dm_t, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [n_tiles, Din, M]
+    d_w = jax.ops.segment_sum(
+        per_tile_dw, adj.tile_types, num_segments=weight_stack.shape[0]
+    ).astype(weight_stack.dtype)
+
+    # d msg_input (primary orientation), for the target part.
+    w_t = jnp.swapaxes(weight_stack, 1, 2)  # [T, M, Din]
+    d_inp = typed_tile_matmul(d_msgs, w_t, adj.tile_types, tile)  # [E, Din]
+    if drop is not None:
+        keep = dropout_keep
+        d_inp = jnp.where(
+            _sym_dropout_mask(seed, edge_key, din, 1.0 - keep),
+            d_inp / jnp.asarray(keep, d_inp.dtype),
+            jnp.zeros((), d_inp.dtype),
+        )
+
+    d_x = jnp.zeros((num_nodes, d), jnp.float32)
+    if use_target_state:
+        d_x = d_x + adjacency_segment_reduce(
+            d_inp[:, d:], adj, num_nodes, "sum", mask=adj.mask
+        )
+
+    # ---- transpose orientation: sender part as a receiver-keyed aggregate --
+    # Each slot e' = (v -> u, t') carries the gradient of its pair
+    # e = (u -> v, tau(t')): recompute e's message with u = receivers[e'],
+    # v = senders[e'], weights indexed by the transposed tile types, route
+    # with per-node arrays gathered through senders[e'] (= v), and aggregate
+    # d msg_input_src over receivers[e'] (= u).
+    inp_tr, msgs_tr = _forward_parts(
+        node_states, weight_stack, (adj.receivers, adj.senders),
+        use_target_state=use_target_state, drop_mask=drop,
+        tile_types=adj.tile_types_transposed,
+    )
+    del inp_tr
+    d_msgs_tr = _route_cotangent(
+        g, msgs_tr.astype(jnp.float32), reduction, adj.senders, adj.mask,
+        counts_flat, out_f, ties,
+    )
+    w_t_trans = w_t
+    d_inp_tr = typed_tile_matmul(d_msgs_tr, w_t_trans, adj.tile_types_transposed, tile)
+    if drop is not None:
+        keep = dropout_keep
+        d_inp_tr = jnp.where(
+            _sym_dropout_mask(seed, edge_key, din, 1.0 - keep),
+            d_inp_tr / jnp.asarray(keep, d_inp_tr.dtype),
+            jnp.zeros((), d_inp_tr.dtype),
+        )
+    d_x = d_x + adjacency_segment_reduce(
+        d_inp_tr[:, :d], adj, num_nodes, "sum", mask=adj.mask
+    )
+
+    return d_x.astype(node_states.dtype), d_w, None
+
+
+fused_typed_message_aggregation.defvjp(_fused_fwd, _fused_bwd)
+
+
+def can_fuse(adj, edge_mask_is_static: bool) -> bool:
+    """Whether the scatter-free fused path is applicable for this batch."""
+    return (
+        adj.has_aggregation_plan
+        and adj.tile_types_transposed is not None
+        and edge_mask_is_static
+    )
