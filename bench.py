@@ -33,6 +33,7 @@ def main() -> None:
     parser.add_argument("--num-batches", type=int, default=4)
     parser.add_argument("--steps", type=int, default=30)
     parser.add_argument("--no-amp", action="store_true")
+    parser.add_argument("--edge-slots-per-node", type=int, default=8)
     args = parser.parse_args()
 
     import jax
@@ -47,7 +48,7 @@ def main() -> None:
     max_nodes = args.max_nodes
     padding = BatchPadding(
         max_nodes=max_nodes,
-        max_edge_slots=max_nodes * 12,
+        max_edge_slots=max_nodes * args.edge_slots_per_node,
         max_graphs=max(16, max_nodes // 1024),
         edge_tile=128,
         reference_budgets=(
@@ -103,6 +104,12 @@ def main() -> None:
 
     step = jax.jit(train_step, donate_argnums=(0, 1))
 
+    # Host-side size counters (reading them from device arrays would force a
+    # D2H round trip through the tunnel every step and poison the timing).
+    batch_sizes = [
+        (int(mb["batch"].num_edges), int(mb["batch"].num_nodes), int(mb["batch"].num_graphs))
+        for mb in minibatches
+    ]
     device_batches = [jax.device_put(mb) for mb in minibatches]
     rng = jax.random.PRNGKey(0)
 
@@ -119,9 +126,10 @@ def main() -> None:
         params, opt_state, loss, metrics = step(
             params, opt_state, mb, jax.random.fold_in(rng, i)
         )
-        total_edges += int(mb["batch"].num_edges)
-        total_nodes += int(mb["batch"].num_nodes)
-        total_graphs += int(mb["batch"].num_graphs)
+        e, n, g = batch_sizes[i % len(device_batches)]
+        total_edges += e
+        total_nodes += n
+        total_graphs += g
     jax.block_until_ready(loss)
     elapsed = time.time() - t0
 

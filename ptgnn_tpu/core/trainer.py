@@ -74,6 +74,7 @@ class ModelTrainer:
         target_validation_metric: Optional[str] = None,
         target_validation_metric_higher_is_better: bool = False,
         enable_amp: bool = False,
+        catch_device_ooms: bool = False,
         seed: int = 0,
     ):
         self._model = model
@@ -86,6 +87,7 @@ class ModelTrainer:
         self._scheduler_creator = scheduler_creator
         self._clip_gradient_norm = clip_gradient_norm
         self._enable_amp = enable_amp
+        self._catch_device_ooms = catch_device_ooms
         self._seed = seed
 
         self._metadata_finalized_hooks: List[Callable[[AbstractNeuralModel], None]] = []
@@ -246,9 +248,12 @@ class ModelTrainer:
             )
         ):
             lr_factor = 1.0 if scheduler is None else scheduler.step(epoch, step_idx)
-            params, opt_state, loss, metrics = self._train_step_fn(
-                params, opt_state, mb_data, jax.random.fold_in(rng, step_idx), lr_factor
-            )
+            from ptgnn_tpu.utils.oom import catch_device_oom
+
+            with catch_device_oom(self._catch_device_ooms):
+                params, opt_state, loss, metrics = self._train_step_fn(
+                    params, opt_state, mb_data, jax.random.fold_in(rng, step_idx), lr_factor
+                )
             # NaN guard (reference: trainer.py:226); checked one step late to
             # avoid a device sync in the hot loop.
             if pending_loss is not None and not np.isfinite(pending_loss):

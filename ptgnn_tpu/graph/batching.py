@@ -214,6 +214,26 @@ class GraphBatcher:
         else:
             senders_r = receivers_r = types_r = np.zeros(0, np.int32)
 
+        # Fast path: the C++ assembler (ptgnn_tpu/native) builds the layout
+        # in one pass; the Python code below is the fallback + oracle.
+        from ptgnn_tpu import native as native_mod
+
+        native_result = native_mod.assemble_edge_layout(
+            senders_r, receivers_r, types_r,
+            max_nodes=n_pad, e_pad=e_pad, tile=tile, agg_rows=r,
+            num_types=t_total,
+        )
+        if native_result is not None:
+            (senders, receivers, edge_types, local_rows, edge_mask,
+             tile_types, tile_row_blocks, counts) = native_result
+            return self._build_graph_batch(
+                mb, node_data, reference_names,
+                senders=senders, receivers=receivers, edge_types=edge_types,
+                local_rows=local_rows, edge_mask=edge_mask,
+                tile_types=tile_types, tile_row_blocks=tile_row_blocks,
+                counts=counts,
+            )
+
         # Sort by (row block, type, receiver).
         block_r = receivers_r // r
         order = np.lexsort((receivers_r, types_r, block_r))
@@ -280,6 +300,25 @@ class GraphBatcher:
         if len(receivers_r):
             np.add.at(counts, receivers_r, 1)
 
+        return self._build_graph_batch(
+            mb, node_data, reference_names,
+            senders=senders, receivers=receivers, edge_types=edge_types,
+            local_rows=local_rows, edge_mask=edge_mask, tile_types=tile_types,
+            tile_row_blocks=tile_row_blocks, counts=counts.reshape(num_blocks, r),
+        )
+
+    def _build_graph_batch(
+        self, mb, node_data, reference_names, *, senders, receivers, edge_types,
+        local_rows, edge_mask, tile_types, tile_row_blocks, counts,
+    ) -> GraphBatch:
+        p = self.padding
+        tile = p.edge_tile
+        n_pad, g_pad = p.max_nodes, p.max_graphs
+        e_pad = p.max_edge_slots
+        n_tiles = e_pad // tile
+        num_nodes = mb["num_nodes_in_mb"]
+        num_graphs = len(mb["num_nodes_per_graph"])
+
         # Transpose type map: fwd type t <-> backward type T+t, self -> self.
         # Lets gradients re-derive sender-side scatters as receiver-keyed
         # aggregations over the materialized transpose edges (ops/fused_mp.py).
@@ -303,7 +342,7 @@ class GraphBatcher:
                 local_rows.reshape(n_tiles, tile), 8, axis=0
             ).reshape(n_tiles * 8, tile),
             tile_row_blocks=tile_row_blocks,
-            agg_counts=counts.reshape(num_blocks, r),
+            agg_counts=counts,
         )
 
         # ---- node -> graph mapping ----

@@ -1,0 +1,107 @@
+"""Native (C++) host runtime components, loaded via ctypes.
+
+The Python implementations remain as fallbacks and correctness oracles; the
+native paths accelerate the host-side batch-assembly pipeline that feeds the
+device (the reference's analogue is its multiprocessing tensorization
+pipeline, abstractneuralmodel.py:194-238 — ours additionally moves the hot
+inner loop out of Python).
+"""
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+LOGGER = logging.getLogger(__name__)
+_LIB_DIR = Path(__file__).parent
+_LIB_PATH = _LIB_DIR / "libbatch_assembler.so"
+
+_lib: Optional[ctypes.CDLL] = None
+_load_attempted = False
+
+
+def _try_build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", str(_LIB_DIR)], check=True, capture_output=True, timeout=120
+        )
+        return _LIB_PATH.exists()
+    except Exception as exc:  # noqa: BLE001 - any failure -> fallback
+        LOGGER.info("Native assembler build failed (%s); using Python fallback.", exc)
+        return False
+
+
+def get_assembler() -> Optional[ctypes.CDLL]:
+    """The loaded native library, building it on first use; None if
+    unavailable (callers fall back to Python)."""
+    global _lib, _load_attempted
+    if _lib is not None or _load_attempted:
+        return _lib
+    _load_attempted = True
+    if os.environ.get("PTGNN_TPU_DISABLE_NATIVE"):
+        return None
+    if not _LIB_PATH.exists() and not _try_build():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.assemble_edge_layout.restype = ctypes.c_int
+        lib.assemble_edge_layout.argtypes = [
+            i32p, i32p, i32p,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            i32p, i32p, i32p, i32p, u8p, i32p, i32p, i32p,
+        ]
+        _lib = lib
+    except OSError as exc:
+        LOGGER.info("Native assembler load failed (%s); using Python fallback.", exc)
+    return _lib
+
+
+def assemble_edge_layout(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    types: np.ndarray,
+    *,
+    max_nodes: int,
+    e_pad: int,
+    tile: int,
+    agg_rows: int,
+    num_types: int,
+) -> Optional[Tuple[np.ndarray, ...]]:
+    """Run the native layout assembly; None if the library is unavailable or
+    the edge budget is exceeded (caller handles both identically)."""
+    lib = get_assembler()
+    if lib is None:
+        return None
+    num_blocks = -(-max_nodes // agg_rows)
+    n_tiles = e_pad // tile
+    out_senders = np.empty(e_pad, np.int32)
+    out_receivers = np.empty(e_pad, np.int32)
+    out_types = np.zeros(e_pad, np.int32)
+    out_local_rows = np.empty(e_pad, np.int32)
+    out_mask = np.empty(e_pad, np.uint8)
+    out_tile_types = np.empty(n_tiles, np.int32)
+    out_tile_row_blocks = np.empty(n_tiles, np.int32)
+    out_counts = np.empty(num_blocks * agg_rows, np.int32)
+    rc = lib.assemble_edge_layout(
+        np.ascontiguousarray(senders, np.int32),
+        np.ascontiguousarray(receivers, np.int32),
+        np.ascontiguousarray(types, np.int32),
+        len(senders), max_nodes, e_pad, tile, agg_rows, num_types,
+        out_senders, out_receivers, out_types, out_local_rows, out_mask,
+        out_tile_types, out_tile_row_blocks, out_counts,
+    )
+    if rc != 0:
+        return None
+    return (
+        out_senders, out_receivers, out_types, out_local_rows,
+        out_mask.astype(bool), out_tile_types, out_tile_row_blocks,
+        out_counts.reshape(num_blocks, agg_rows),
+    )
