@@ -299,7 +299,11 @@ def planned_segment_sum(data, receivers, plan, num_nodes: int, _mask_is_none: bo
     ``data`` must already be zero at masked edges. ``receivers`` is only used
     by the backward gather.
     """
-    out = _run_kernel(_sum_kernel, plan, _gather_sorted(data, plan, 0.0))
+    data_sorted = _gather_sorted(data, plan, 0.0)
+    if _resident_fits(plan, data_sorted.shape[1]):
+        out = _run_kernel_resident(plan, data_sorted, kind="sum")
+    else:
+        out = _run_kernel(_sum_kernel, plan, data_sorted)
     return out[:num_nodes]
 
 
@@ -320,8 +324,12 @@ planned_segment_sum.defvjp(_planned_sum_fwd, _planned_sum_bwd)
 def planned_segment_extremum(data, receivers, plan, num_nodes: int, is_max: bool = True):
     """Segment max/min; masked edges must carry -/+_BIG in ``data``.
     Empty segments yield 0 (torch-scatter fill), handled via plan.counts."""
-    kernel = functools.partial(_extremum_kernel, is_max=is_max)
-    out = _run_kernel(kernel, plan, _gather_sorted(data, plan, -_BIG if is_max else _BIG))
+    data_sorted = _gather_sorted(data, plan, -_BIG if is_max else _BIG)
+    if _resident_fits(plan, data_sorted.shape[1]):
+        out = _run_kernel_resident(plan, data_sorted, kind="ext", is_max=is_max)
+    else:
+        kernel = functools.partial(_extremum_kernel, is_max=is_max)
+        out = _run_kernel(kernel, plan, data_sorted)
     out = out[:num_nodes]
     counts = plan.counts.reshape(-1)[:num_nodes]
     empty = counts[:, None] == 0
@@ -421,3 +429,154 @@ def adjacency_segment_reduce(
     if trailing != out.shape[1:]:
         out = out.reshape((num_nodes,) + trailing)
     return out
+
+
+# ---------------------------------------------------------------------------
+# VMEM-resident output variant
+# ---------------------------------------------------------------------------
+# With the output block-mapped by a scalar-prefetched index, Mosaic cannot
+# overlap consecutive grid steps well (observed ~9 us/step through the
+# dynamic out mapping). When the whole output fits in VMEM, keeping it
+# resident as scratch and accumulating through dynamic row slices lets the
+# data tiles stream at full pipeline depth; the output is written back once.
+
+_RESIDENT_VMEM_LIMIT = 12 * 1024 * 1024
+
+
+def _make_resident_sum_kernel(r: int):
+    def kernel(tile_rb_ref, rows_row_ref, data_ref, out_ref, acc_ref):
+        t = pl.program_id(0)
+        n_t = pl.num_programs(0)
+
+        @pl.when(t == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        onehot_t = (
+            jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0) == rows_row_ref[0:1, :]
+        ).astype(data_ref.dtype)
+        contrib = jax.lax.dot_general(
+            onehot_t, data_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        start = tile_rb_ref[t] * r
+        acc_ref[pl.ds(start, r), :] = acc_ref[pl.ds(start, r), :] + contrib
+
+        @pl.when(t == n_t - 1)
+        def _():
+            out_ref[:] = acc_ref[:]
+
+    return kernel
+
+
+def _make_resident_extremum_kernel(r: int, is_max: bool):
+    neutral = -_BIG if is_max else _BIG
+    combine = jnp.maximum if is_max else jnp.minimum
+
+    def kernel(tile_rb_ref, local_rows_ref, rows_row_ref, data_ref, out_ref, acc_ref):
+        t = pl.program_id(0)
+        n_t = pl.num_programs(0)
+        tile = data_ref.shape[0]
+        rows2 = local_rows_ref[:]
+
+        @pl.when(t == 0)
+        def _():
+            acc_ref[:] = jnp.full_like(acc_ref, jnp.float32(neutral))
+
+        v = data_ref[:].astype(jnp.float32)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+        for k in range(int(math.log2(tile))):
+            s_ = 1 << k
+            v_sh = pltpu.roll(v, shift=s_, axis=0)
+            r_sh = pltpu.roll(rows2, shift=s_, axis=0)
+            valid = jnp.logical_and(pos >= s_, r_sh == rows2)
+            v = combine(v, jnp.where(valid, v_sh, jnp.float32(neutral)))
+        nxt = pltpu.roll(rows2, shift=tile - 1, axis=0)
+        last = jnp.logical_or(nxt != rows2, pos == tile - 1)
+        mark = jnp.logical_and(last, rows2 < r)
+        markf = mark.astype(jnp.float32)
+        marked = jnp.concatenate([jnp.where(mark, v, 0.0), markf], axis=1)
+        onehot_t = (
+            jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0) == rows_row_ref[0:1, :]
+        ).astype(jnp.float32)
+        sel = jax.lax.dot_general(
+            onehot_t, marked, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        contrib = sel[:, :-1]
+        present = sel[:, -1:] > 0
+        start = tile_rb_ref[t] * r
+        cur = acc_ref[pl.ds(start, r), :]
+        acc_ref[pl.ds(start, r), :] = jnp.where(present, combine(cur, contrib), cur)
+
+        @pl.when(t == n_t - 1)
+        def _():
+            out_ref[:] = acc_ref[:]
+
+    return kernel
+
+
+def _run_kernel_resident(
+    plan: AggregationPlan, data_sorted: jax.Array, *, kind: str, is_max: bool = True
+) -> jax.Array:
+    num_tiles = plan.tile_row_blocks.shape[0]
+    agg_tile = plan.local_rows.shape[0] // num_tiles
+    num_row_blocks, r = plan.counts.shape
+    d = data_sorted.shape[1]
+    out_rows = num_row_blocks * r
+
+    in_specs = []
+    args = []
+    if kind != "sum":
+        in_specs.append(
+            pl.BlockSpec((agg_tile, 1), lambda t, rb: (t, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(plan.local_rows)
+    in_specs.append(
+        pl.BlockSpec((8, agg_tile), lambda t, rb: (t, 0), memory_space=pltpu.VMEM)
+    )
+    args.append(plan.local_rows_row)
+    in_specs.append(
+        pl.BlockSpec((agg_tile, d), lambda t, rb: (t, 0), memory_space=pltpu.VMEM)
+    )
+    args.append(data_sorted)
+
+    kernel = (
+        _make_resident_sum_kernel(r)
+        if kind == "sum"
+        else _make_resident_extremum_kernel(r, is_max)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (out_rows, d), lambda t, rb: (0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((out_rows, d), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((out_rows, d), jnp.float32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_tiles * agg_tile * r * d,
+            bytes_accessed=num_tiles * agg_tile * d * 4 + out_rows * d * 4,
+            transcendentals=0,
+        ),
+    )(plan.tile_row_blocks, *args)
+
+
+def _resident_fits(plan: AggregationPlan, d: int) -> bool:
+    # DISABLED: on real v5e hardware the dynamic-slice accumulation into a
+    # large VMEM scratch hangs in Mosaic (compile/execute never returns
+    # through the axon runtime). Kept for future investigation; the
+    # block-mapped kernel is the production path.
+    import os
+
+    if not os.environ.get("PTGNN_TPU_RESIDENT_KERNEL"):
+        return False
+    num_row_blocks, r = plan.counts.shape
+    return num_row_blocks * r * d * 4 <= _RESIDENT_VMEM_LIMIT
