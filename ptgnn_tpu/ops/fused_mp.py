@@ -244,11 +244,7 @@ def _fused_bwd(num_nodes, reduction, use_target_state, dropout_keep, res, g):
             jnp.zeros((), d_inp.dtype),
         )
 
-    d_x = jnp.zeros((num_nodes, d), jnp.float32)
-    if use_target_state:
-        d_x = d_x + adjacency_segment_reduce(
-            d_inp[:, d:], adj, num_nodes, "sum", mask=adj.mask
-        )
+    target_cotangent = d_inp[:, d:] if use_target_state else None
 
     # ---- transpose orientation: sender part as a receiver-keyed aggregate --
     # Each slot e' = (v -> u, t') carries the gradient of its pair
@@ -275,9 +271,16 @@ def _fused_bwd(num_nodes, reduction, use_target_state, dropout_keep, res, g):
             d_inp_tr / jnp.asarray(keep, d_inp_tr.dtype),
             jnp.zeros((), d_inp_tr.dtype),
         )
-    d_x = d_x + adjacency_segment_reduce(
-        d_inp_tr[:, :d], adj, num_nodes, "sum", mask=adj.mask
-    )
+    # One kernel call aggregates both the target-side and (transpose-derived)
+    # sender-side cotangents: concat along features, split after.
+    if target_cotangent is not None:
+        combined = jnp.concatenate([target_cotangent, d_inp_tr[:, :d]], axis=1)
+        agg = adjacency_segment_reduce(combined, adj, num_nodes, "sum", mask=adj.mask)
+        d_x = agg[:, :d] + agg[:, d:]
+    else:
+        d_x = adjacency_segment_reduce(
+            d_inp_tr[:, :d], adj, num_nodes, "sum", mask=adj.mask
+        )
 
     return d_x.astype(node_states.dtype), d_w, None
 
