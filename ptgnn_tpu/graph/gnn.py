@@ -48,6 +48,9 @@ class GraphNeuralNetwork(Module):
         self.node_embedder = node_embedder
         self.edge_dropout_rate = edge_dropout_rate
         self.edge_feature_embedder = edge_feature_embedder
+        # Set by parallel.EdgeParallel: mesh axis the edge array is
+        # partitioned over (static module config, not traced state).
+        self.edge_partition_axis = None
 
     @property
     def input_node_state_dim(self) -> int:
@@ -136,6 +139,7 @@ class GraphNeuralNetwork(Module):
             node_mask=batch.node_mask,
             graph_mask=batch.graph_mask,
             references=batch.references,
+            edge_axis=getattr(self, "edge_partition_axis", None),
         )
         output = self.gnn(
             params, initial, ctx, train=train, rng=rng, return_all_states=return_all_states

@@ -42,6 +42,9 @@ class GraphContext(NamedTuple):
     # False when runtime edge dropout replaced the static batch mask; the
     # scatter-free fused backward (ops/fused_mp.py) requires the static mask.
     edge_mask_is_static: bool = True
+    # Mesh axis name when the edge array is partitioned across devices
+    # (parallel/edge_sharding.py); aggregations then add one collective.
+    edge_axis: Any = None
 
     @property
     def max_graphs(self) -> int:
@@ -66,6 +69,8 @@ def fused_linear_message_aggregation_or_none(
     ):
         return None
     if ctx.edge_features is not None:
+        return None
+    if ctx.edge_axis is not None:
         return None
     if not _use_pallas_aggregation():
         return None
@@ -118,6 +123,12 @@ class AbstractMessagePassingLayer(Module):
         sorted-segment Pallas kernel (one-hot matmuls on the MXU); otherwise
         the XLA segment ops."""
         adj = ctx.adjacency
+        if ctx.edge_axis is not None:
+            from ptgnn_tpu.parallel.edge_sharding import sharded_aggregate
+
+            return sharded_aggregate(
+                messages, adj, num_nodes, aggregation_fn, ctx.edge_axis, mask=adj.mask
+            )
         if (
             adj.has_aggregation_plan
             and aggregation_fn in ("sum", "add", "mean", "max", "min")

@@ -1,0 +1,218 @@
+"""Edge-partitioned model parallelism: scale one graph batch across chips.
+
+The reference has no long-context/sequence-parallel analogue — graphs larger
+than one device's budget are simply dropped (SURVEY.md §5). Here the
+flattened batch graph itself is partitioned: the padded edge array (the
+unified layout, graph/batching.py) is split into contiguous shards along an
+``edge`` mesh axis, node states are replicated along that axis, and each
+message-passing layer becomes
+
+    per-shard: gather sources -> typed matmul -> masked segment reduce
+    cross-shard: one ``psum`` (sum/mean) or ``pmax``/``pmin`` (extrema)
+                 over the edge axis — the boundary-feature exchange, ridden
+                 over ICI as a single fused collective per layer.
+
+Because the layout's tiles are type- and row-block-pure, any contiguous cut
+at tile granularity keeps every shard a valid mini-layout; the batcher needs
+no changes — shards are views. Combined with the ``data`` axis this gives a
+2D mesh: data-parallel across batches, edge-parallel within a batch, so
+graphs ~N× one chip's edge budget become trainable instead of dropped.
+
+Partial-aggregate semantics across shards:
+* sum/mean: local masked segment_sum, psum; mean divides by global counts;
+* max/min: local masked extremum with neutral fill, lax.pmax/pmin, then
+  empty segments reset to 0 (torch-scatter fill) using global counts.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ptgnn_tpu.graph.structs import AdjacencyStruct
+from ptgnn_tpu.ops.segment import segment_count, segment_reduce, segment_sum
+
+_BIG = 3.0e38
+
+
+def shard_adjacency(adj: AdjacencyStruct, num_shards: int):
+    """Split the padded edge arrays into ``num_shards`` contiguous tile-
+    aligned shards (host- or trace-side; arrays only). Returns an
+    AdjacencyStruct with a leading shard axis on every edge-indexed field."""
+    e_pad = adj.senders.shape[0]
+    tile = adj.edge_tile
+    n_tiles = adj.tile_types.shape[0]
+    assert n_tiles % num_shards == 0, (
+        f"edge tiles ({n_tiles}) must divide the edge-shard count ({num_shards}); "
+        "pick max_edge_slots as a multiple of num_shards * edge_tile"
+    )
+    tiles_per = n_tiles // num_shards
+    per = tiles_per * tile
+
+    def split_edges(x):
+        return None if x is None else x.reshape((num_shards, per) + x.shape[1:])
+
+    def split_tiles(x):
+        return None if x is None else x.reshape((num_shards, tiles_per) + x.shape[1:])
+
+    return AdjacencyStruct(
+        senders=split_edges(adj.senders),
+        receivers=split_edges(adj.receivers),
+        edge_types=split_edges(adj.edge_types),
+        tile_types=split_tiles(adj.tile_types),
+        mask=split_edges(adj.mask),
+        tile_types_transposed=split_tiles(adj.tile_types_transposed),
+        local_rows=None if adj.local_rows is None else adj.local_rows.reshape(
+            num_shards, per, 1
+        ),
+        local_rows_row=None
+        if adj.local_rows_row is None
+        else adj.local_rows_row.reshape(num_shards, tiles_per * 8, tile),
+        tile_row_blocks=split_tiles(adj.tile_row_blocks),
+        # counts are global (per node); replicate per shard for mean/extrema.
+        agg_counts=adj.agg_counts,
+    )
+
+
+def sharded_aggregate(
+    messages: jax.Array,  # [E_local, M] this shard's messages
+    local_adj: AdjacencyStruct,  # this shard's slice (local arrays)
+    num_nodes: int,
+    reduction: str,
+    axis_name: str,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Local masked segment reduce + one collective over the edge axis.
+
+    Call inside shard_map with ``axis_name`` mapped over the edge shards.
+    """
+    mask = mask if mask is not None else local_adj.mask
+    if reduction in ("sum", "add", "mean"):
+        local = segment_sum(messages, local_adj.receivers, num_nodes, mask)
+        total = jax.lax.psum(local, axis_name)
+        if reduction == "mean":
+            cnt = segment_count(local_adj.receivers, num_nodes, mask).astype(total.dtype)
+            cnt = jax.lax.psum(cnt, axis_name)
+            total = total / jnp.maximum(cnt, 1.0)[:, None]
+        return total
+    if reduction in ("max", "min"):
+        is_max = reduction == "max"
+        neutral = -_BIG if is_max else _BIG
+        work = jnp.where(mask[:, None], messages.astype(jnp.float32), neutral)
+        local = segment_reduce(
+            work, local_adj.receivers, num_nodes, reduction, mask=None
+        )
+        # empty local segments were filled with 0 by segment_reduce; restore
+        # the neutral so they lose the cross-shard combine
+        cnt_l = segment_count(local_adj.receivers, num_nodes, mask)
+        local = jnp.where(cnt_l[:, None] > 0, local, jnp.float32(neutral))
+        # pmax/pmin have no VJP; all_gather + reduce is differentiable and
+        # moves the same volume over ICI.
+        gathered = jax.lax.all_gather(local, axis_name)  # [S, N, D]
+        total = jnp.max(gathered, axis=0) if is_max else jnp.min(gathered, axis=0)
+        cnt = jax.lax.psum(cnt_l, axis_name)
+        return jnp.where(cnt[:, None] > 0, total, 0.0).astype(messages.dtype)
+    raise ValueError(f"Unknown reduction '{reduction}'")
+
+
+class EdgeParallel:
+    """Train-step builder partitioning one batch's edges across a mesh axis.
+
+    Node states, parameters, and all non-edge batch fields are replicated
+    along the axis; each layer's aggregation performs one collective
+    (parallel/edge_sharding.sharded_aggregate). Composes with the data axis
+    as a 2D mesh for data x edge parallelism.
+    """
+
+    def __init__(self, module, optimizer, mesh, *, axis: str = "edge",
+                 enable_amp: bool = False):
+        self.module = module
+        self.optimizer = optimizer
+        self.mesh = mesh
+        self.axis = axis
+        self.enable_amp = enable_amp
+        self.num_shards = mesh.shape[axis]
+        # Static module config: aggregations add a collective over `axis`.
+        gnn = getattr(module, "gnn", None) or getattr(module, "_gnn", None)
+        assert gnn is not None, "EdgeParallel needs a module exposing .gnn"
+        gnn.edge_partition_axis = axis
+
+    def shard_batch(self, minibatch: Dict[str, Any]) -> Dict[str, Any]:
+        """Host-side: put the leading shard axis on the edge arrays."""
+        batch = minibatch["batch"]
+        return {**minibatch,
+                "batch": batch._replace(
+                    adjacency=shard_adjacency(batch.adjacency, self.num_shards))}
+
+    def _specs(self, example_sharded_mb):
+        from jax.sharding import PartitionSpec as P
+
+        def batch_spec(path_leaf):
+            return P(self.axis)
+
+        # adjacency leaves sharded on their leading axis; all else replicated
+        def spec_tree(mb):
+            batch = mb["batch"]
+            adj_spec = jax.tree_util.tree_map(lambda x: P(self.axis), batch.adjacency)
+            # agg_counts stays replicated (global per-node degrees)
+            adj_spec = adj_spec._replace(agg_counts=P())
+            rest = jax.tree_util.tree_map(lambda x: P(), mb)
+            rest["batch"] = rest["batch"]._replace(adjacency=adj_spec)
+            return rest
+
+        return spec_tree(example_sharded_mb)
+
+    def build_train_step(self, example_sharded_mb):
+        from jax.sharding import PartitionSpec as P
+
+        axis = self.axis
+        module = self.module
+        optimizer = self.optimizer
+
+        def _cast(tree, dtype):
+            return jax.tree_util.tree_map(
+                lambda x: x.astype(dtype)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                tree,
+            )
+
+        def per_shard_loss(params, sharded_mb, rng):
+            def delead(x):
+                # edge-sharded leaves arrive as [1, ...] local views
+                return x[0] if x is not None else None
+
+            batch = sharded_mb["batch"]
+            local_adj = jax.tree_util.tree_map(delead, batch.adjacency)
+            local_adj = local_adj._replace(agg_counts=batch.adjacency.agg_counts)
+            mb = {**sharded_mb, "batch": batch._replace(adjacency=local_adj)}
+            if self.enable_amp:
+                params = _cast(params, jnp.bfloat16)
+                mb = _cast(mb, jnp.bfloat16)
+            loss, metrics = module.apply(params, **mb, train=True, rng=rng)
+            return loss.astype(jnp.float32), metrics
+
+        from ptgnn_tpu.parallel.dp import _shard_map
+
+        in_specs = (P(), self._specs(example_sharded_mb), P())
+        # Differentiate THROUGH the shard_map: its transpose for replicated
+        # (P()) inputs psums each shard's partial parameter gradient, which
+        # is exactly the sum-over-edges semantics of message passing.
+        sharded_loss = _shard_map(
+            per_shard_loss, mesh=self.mesh, in_specs=in_specs, out_specs=(P(), P())
+        )
+
+        def train_step(params, opt_state, sharded_mb, rng):
+            (loss, metrics), grads = jax.value_and_grad(
+                lambda p: sharded_loss(p, sharded_mb, rng), has_aux=True
+            )(params)
+            grads = _cast(grads, jnp.float32)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            import optax
+
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, metrics
+
+        return jax.jit(train_step, donate_argnums=(0, 1))
