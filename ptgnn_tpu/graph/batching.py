@@ -60,11 +60,13 @@ class GraphBatcher:
         padding: BatchPadding,
         introduce_backwards_edges: bool,
         add_self_edges: bool,
+        track_edge_features: bool = False,
     ):
         self.num_fwd_edge_types = num_fwd_edge_types
         self.padding = padding
         self.introduce_backwards_edges = introduce_backwards_edges
         self.add_self_edges = add_self_edges
+        self.track_edge_features = track_edge_features
         assert padding.max_edge_slots % padding.edge_tile == 0
 
     @property
@@ -94,40 +96,55 @@ class GraphBatcher:
             "reference_node_graph_idx": {},
             "num_nodes_in_mb": 0,
             "num_edges_in_mb": 0,
+            "feature_idx": [],
+            "num_features_in_mb": 0,
         }
 
     def _graph_edge_arrays(
-        self, graph: TensorizedGraphData, offset: int
-    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """All materialized edges of one graph (fwd + bwd + self), offset."""
+        self, graph: TensorizedGraphData, offset: int, feature_offset: int = 0
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """All materialized edges of one graph (fwd + bwd + self), offset.
+
+        The fourth array maps each edge to its index in the flattened
+        per-graph forward-edge feature list (backward edges share the forward
+        edge's index, self edges get -1; reference:
+        graphneuralnetwork.py:172-183)."""
         senders: List[np.ndarray] = []
         receivers: List[np.ndarray] = []
         types: List[np.ndarray] = []
+        feats: List[np.ndarray] = []
         base = self.num_fwd_edge_types
+        fcursor = feature_offset
         for t, (src, dst) in enumerate(graph.adjacency_lists):
             if len(src) == 0:
                 continue
             src = src.astype(np.int32) + offset
             dst = dst.astype(np.int32) + offset
+            fidx = np.arange(fcursor, fcursor + len(src), dtype=np.int32)
+            fcursor += len(src)
             senders.append(src)
             receivers.append(dst)
             types.append(np.full(len(src), t, np.int32))
+            feats.append(fidx)
             if self.introduce_backwards_edges:
                 senders.append(dst)
                 receivers.append(src)
                 types.append(np.full(len(src), base + t, np.int32))
+                feats.append(fidx)
         if self.add_self_edges:
             idents = np.arange(offset, offset + graph.num_nodes, dtype=np.int32)
             senders.append(idents)
             receivers.append(idents)
             types.append(np.full(graph.num_nodes, self.num_edge_types - 1, np.int32))
+            feats.append(np.full(graph.num_nodes, -1, np.int32))
         if not senders:
             z = np.zeros(0, np.int32)
-            return z, z, z
+            return z, z, z, z
         return (
             np.concatenate(senders),
             np.concatenate(receivers),
             np.concatenate(types),
+            np.concatenate(feats),
         )
 
     def _slots_for(self, seg_counts: Dict[Tuple[int, int], int]) -> int:
@@ -139,7 +156,7 @@ class GraphBatcher:
         return slots
 
     def _merged_seg_counts(self, graph, offset) -> Dict[Tuple[int, int], int]:
-        _, receivers, types = self._graph_edge_arrays(graph, offset)
+        _, receivers, types, _ = self._graph_edge_arrays(graph, offset)
         r = self.padding.agg_rows
         delta: Dict[Tuple[int, int], int] = {}
         if len(receivers):
@@ -173,10 +190,14 @@ class GraphBatcher:
         """Add a graph (caller must have checked can_add)."""
         offset = mb["num_nodes_in_mb"]
         graph_idx = len(mb["num_nodes_per_graph"])
-        senders, receivers, types = self._graph_edge_arrays(graph, offset)
+        senders, receivers, types, feat_idx = self._graph_edge_arrays(
+            graph, offset, mb["num_features_in_mb"]
+        )
         mb["senders"].append(senders)
         mb["receivers"].append(receivers)
         mb["types"].append(types)
+        mb["feature_idx"].append(feat_idx)
+        mb["num_features_in_mb"] += graph.num_edges
         for key, c in self._merged_seg_counts(graph, offset).items():
             mb["seg_counts"][key] = mb["seg_counts"].get(key, 0) + c
         mb["num_edges_in_mb"] += len(senders)
@@ -211,14 +232,15 @@ class GraphBatcher:
             senders_r = np.concatenate(mb["senders"])
             receivers_r = np.concatenate(mb["receivers"])
             types_r = np.concatenate(mb["types"])
+            feats_r = np.concatenate(mb["feature_idx"])
         else:
-            senders_r = receivers_r = types_r = np.zeros(0, np.int32)
+            senders_r = receivers_r = types_r = feats_r = np.zeros(0, np.int32)
 
         # Fast path: the C++ assembler (ptgnn_tpu/native) builds the layout
         # in one pass; the Python code below is the fallback + oracle.
         from ptgnn_tpu import native as native_mod
 
-        native_result = native_mod.assemble_edge_layout(
+        native_result = None if self.track_edge_features else native_mod.assemble_edge_layout(
             senders_r, receivers_r, types_r,
             max_nodes=n_pad, e_pad=e_pad, tile=tile, agg_rows=r,
             num_types=t_total,
@@ -240,6 +262,7 @@ class GraphBatcher:
         senders_r = senders_r[order]
         receivers_r = receivers_r[order]
         types_r = types_r[order]
+        feats_r = feats_r[order]
         block_r = block_r[order]
 
         # Segment boundaries where (block, type) changes.
@@ -258,6 +281,7 @@ class GraphBatcher:
         tile_row_blocks = np.zeros(n_tiles, np.int32)
         local_rows = np.full(e_pad, r, np.int32)  # sentinel R
         edge_mask = np.zeros(e_pad, bool)
+        feature_slot = np.full(e_pad, -1, np.int32)
 
         cursor = 0
         tile_cursor = 0
@@ -277,6 +301,7 @@ class GraphBatcher:
                 t = int(types_r[s0])
                 senders[cursor : cursor + c] = senders_r[s0:s1]
                 receivers[cursor : cursor + c] = receivers_r[s0:s1]
+                feature_slot[cursor : cursor + c] = feats_r[s0:s1]
                 local_rows[cursor : cursor + c] = receivers_r[s0:s1] - b * r
                 edge_types[cursor : cursor + seg] = t
                 edge_mask[cursor : cursor + c] = True
@@ -305,11 +330,13 @@ class GraphBatcher:
             senders=senders, receivers=receivers, edge_types=edge_types,
             local_rows=local_rows, edge_mask=edge_mask, tile_types=tile_types,
             tile_row_blocks=tile_row_blocks, counts=counts.reshape(num_blocks, r),
+            feature_slot=feature_slot if self.track_edge_features else None,
         )
 
     def _build_graph_batch(
         self, mb, node_data, reference_names, *, senders, receivers, edge_types,
         local_rows, edge_mask, tile_types, tile_row_blocks, counts,
+        feature_slot=None,
     ) -> GraphBatch:
         p = self.padding
         tile = p.edge_tile
@@ -343,6 +370,7 @@ class GraphBatcher:
             ).reshape(n_tiles * 8, tile),
             tile_row_blocks=tile_row_blocks,
             agg_counts=counts,
+            edge_feature_slot=feature_slot,
         )
 
         # ---- node -> graph mapping ----

@@ -127,9 +127,16 @@ class GraphNeuralNetwork(Module):
 
         edge_features = None
         if self.edge_feature_embedder is not None and batch.edge_feature_data is not None:
-            edge_features = self.edge_feature_embedder.apply(
+            embedded = self.edge_feature_embedder.apply(
                 params["edge_embedder"], **batch.edge_feature_data,
                 train=train, rng=fold(rng, 104730),
+            )  # [F_budget, F]
+            slot = batch.adjacency.edge_feature_slot
+            gathered = jnp.take(
+                embedded, jnp.maximum(slot, 0), axis=0
+            )  # clamp; featureless slots zeroed below
+            edge_features = jnp.where(
+                slot[:, None] >= 0, gathered, jnp.zeros((), gathered.dtype)
             )
 
         ctx = GraphContext(
@@ -196,10 +203,6 @@ class GraphNeuralNetworkModel(AbstractNeuralModel):
         )
         self.add_self_edges = add_self_edges
         self.edge_dropout_rate = edge_dropout_rate
-        if edge_representation_model is not None:
-            raise NotImplementedError(
-                "edge feature embedders land with the edge-features milestone"
-            )
 
     @property
     def node_embedding_model(self) -> AbstractNeuralModel:
@@ -217,6 +220,10 @@ class GraphNeuralNetworkModel(AbstractNeuralModel):
             self.__edge_types_mdata.add(edge_type)
         for name in datapoint.reference_nodes:
             self.__reference_names_mdata.add(name)
+        if datapoint.edge_features is not None and self.__edge_embedding_model is not None:
+            for edge_features in datapoint.edge_features.values():
+                for edge_feature in edge_features:
+                    self.__edge_embedding_model.update_metadata_from(edge_feature)
 
     def finalize_metadata(self) -> None:
         LOGGER.info("Found %s edge types in data.", len(self.__edge_types_mdata))
@@ -252,6 +259,10 @@ class GraphNeuralNetworkModel(AbstractNeuralModel):
         at tensorize time, not in metadata)."""
         self.__reference_names = tuple(sorted(set(self.__reference_names) | set(names)))
 
+    @property
+    def edge_embedding_model(self):
+        return self.__edge_embedding_model
+
     def build_neural_module(self) -> GraphNeuralNetwork:
         # The creator is usually an unpicklable closure (cf. the factory fns
         # in implementations/*/train.py); build once, cache the picklable
@@ -265,7 +276,11 @@ class GraphNeuralNetworkModel(AbstractNeuralModel):
             self._built_mp_layers,
             node_embedder=self.__node_embedding_model.build_neural_module(),
             edge_dropout_rate=self.edge_dropout_rate,
-            edge_feature_embedder=None,
+            edge_feature_embedder=(
+                self.__edge_embedding_model.build_neural_module()
+                if self.__edge_embedding_model is not None
+                else None
+            ),
         )
         return gnn
 
@@ -275,6 +290,7 @@ class GraphNeuralNetworkModel(AbstractNeuralModel):
             padding=self.padding,
             introduce_backwards_edges=self.introduce_backwards_edges,
             add_self_edges=self.add_self_edges,
+            track_edge_features=self.__edge_embedding_model is not None,
         )
 
     # ---- tensorization (reference: graphneuralnetwork.py:314-367) ----
@@ -292,13 +308,24 @@ class GraphNeuralNetworkModel(AbstractNeuralModel):
             LOGGER.warning("Dropping graph with %s nodes.", len(datapoint.node_information))
             return None
 
+        edge_features_flat = None
+        if self.__edge_embedding_model is not None and datapoint.edge_features is not None:
+            # Flattened in canonical edge-type order, matching the batcher's
+            # per-graph feature numbering (graph/batching.py).
+            edge_features_flat = []
+            for edge_type in self.__edge_idx_to_type:
+                for feat in datapoint.edge_features.get(edge_type, []):
+                    edge_features_flat.append(
+                        enforce_not_None(self.__edge_embedding_model.tensorize(feat))
+                    )
+
         tensorized = TensorizedGraphData(
             adjacency_lists=list(self.__iterate_edge_types(datapoint)),
             node_tensorized_data=[
                 enforce_not_None(self.__node_embedding_model.tensorize(ni))
                 for ni in datapoint.node_information
             ],
-            edge_features=None,
+            edge_features=edge_features_flat,
             reference_nodes={
                 n: np.array(refs, dtype=np.int32) for n, refs in datapoint.reference_nodes.items()
             },
@@ -321,11 +348,14 @@ class GraphNeuralNetworkModel(AbstractNeuralModel):
 
     # ---- minibatching ----
     def initialize_minibatch(self) -> Dict[str, Any]:
-        return {
+        mb = {
             "batcher": self._make_batcher(),
             "batcher_mb": None,  # created lazily below to keep dict picklable
             "node_data_mb": self.__node_embedding_model.initialize_minibatch(),
         }
+        if self.__edge_embedding_model is not None:
+            mb["edge_data_mb"] = self.__edge_embedding_model.initialize_minibatch()
+        return mb
 
     def _batcher_mb(self, partial_minibatch: Dict[str, Any]) -> Dict[str, Any]:
         if partial_minibatch["batcher_mb"] is None:
@@ -343,6 +373,11 @@ class GraphNeuralNetworkModel(AbstractNeuralModel):
             continue_extending &= self.__node_embedding_model.extend_minibatch_with(
                 node_info, partial_minibatch["node_data_mb"]
             )
+        if self.__edge_embedding_model is not None and tensorized.edge_features is not None:
+            for feat in tensorized.edge_features:
+                self.__edge_embedding_model.extend_minibatch_with(
+                    feat, partial_minibatch["edge_data_mb"]
+                )
         mb = self._batcher_mb(partial_minibatch)
         partial_minibatch["batcher"].extend(tensorized, mb)
         continue_extending &= (
@@ -359,4 +394,10 @@ class GraphNeuralNetworkModel(AbstractNeuralModel):
             node_data=node_data,
             reference_names=self.__reference_names,
         )
+        if self.__edge_embedding_model is not None:
+            edge_data = self.__edge_embedding_model.finalize_minibatch(
+                accumulated_minibatch_data["edge_data_mb"],
+                pad_to=self.padding.max_edge_slots,
+            )
+            batch = batch._replace(edge_feature_data=edge_data)
         return {"batch": batch}

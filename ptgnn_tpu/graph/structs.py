@@ -143,6 +143,10 @@ class AdjacencyStruct(NamedTuple):
     local_rows_row: Any = None  # [n_tiles * 8, edge_tile] int32 (sublane-replicated)
     tile_row_blocks: Any = None  # [n_tiles] int32 (single row block per tile)
     agg_counts: Any = None  # [num_row_blocks, R] int32 in-degrees
+    # Per-slot index into the flattened edge-feature array (-1 = no features:
+    # padding and self edges; backward edges share the forward edge's index,
+    # reference: graphneuralnetwork.py:172-183).
+    edge_feature_slot: Any = None  # [E_pad] int32 or None
 
     @property
     def edge_tile(self) -> int:

@@ -302,6 +302,8 @@ def planned_segment_sum(data, receivers, plan, num_nodes: int, _mask_is_none: bo
     data_sorted = _gather_sorted(data, plan, 0.0)
     if _resident_fits(plan, data_sorted.shape[1]):
         out = _run_kernel_resident(plan, data_sorted, kind="sum")
+    elif _use_two_phase():
+        out = _run_kernel_two_phase(plan, data_sorted, kind="sum")
     else:
         out = _run_kernel(_sum_kernel, plan, data_sorted)
     return out[:num_nodes]
@@ -327,6 +329,8 @@ def planned_segment_extremum(data, receivers, plan, num_nodes: int, is_max: bool
     data_sorted = _gather_sorted(data, plan, -_BIG if is_max else _BIG)
     if _resident_fits(plan, data_sorted.shape[1]):
         out = _run_kernel_resident(plan, data_sorted, kind="ext", is_max=is_max)
+    elif _use_two_phase():
+        out = _run_kernel_two_phase(plan, data_sorted, kind="ext", is_max=is_max)
     else:
         kernel = functools.partial(_extremum_kernel, is_max=is_max)
         out = _run_kernel(kernel, plan, data_sorted)
@@ -441,6 +445,14 @@ def adjacency_segment_reduce(
 # data tiles stream at full pipeline depth; the output is written back once.
 
 _RESIDENT_VMEM_LIMIT = 12 * 1024 * 1024
+
+
+def _use_two_phase() -> bool:
+    # Measured SLOWER than the revisit kernel at the batch layout's 128-edge
+    # tiles (partials write-amplify ~2x); kept for experimentation.
+    import os
+
+    return bool(os.environ.get("PTGNN_TPU_TWO_PHASE_KERNEL"))
 
 
 def _make_resident_sum_kernel(r: int):
@@ -580,3 +592,119 @@ def _resident_fits(plan: AggregationPlan, d: int) -> bool:
         return False
     num_row_blocks, r = plan.counts.shape
     return num_row_blocks * r * d * 4 <= _RESIDENT_VMEM_LIMIT
+
+
+# ---------------------------------------------------------------------------
+# Two-phase variant: static output mapping for full DMA pipelining
+# ---------------------------------------------------------------------------
+# The revisit kernel's output block is indexed by a scalar-prefetched row
+# block, which (empirically, on v5e through this toolchain) defeats Mosaic's
+# pipelining — each step pays a flush/reload latency. Phase 1 instead writes
+# a PER-TILE partial [n_tiles, R, D] with the identity index map (fully
+# pipelined streaming); phase 2 combines partials per row block with an XLA
+# segment reduce over n_tiles large rows (cheap: few, wide rows).
+
+
+def _sum_kernel_phase1(rows_row_ref, data_ref, out_ref):
+    r = out_ref.shape[1]
+    onehot_t = (
+        jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0) == rows_row_ref[0:1, :]
+    ).astype(data_ref.dtype)
+    out_ref[0] = jax.lax.dot_general(
+        onehot_t, data_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _extremum_kernel_phase1(local_rows_ref, rows_row_ref, data_ref, out_ref, *, is_max):
+    tile = data_ref.shape[0]
+    r = out_ref.shape[1]
+    rows2 = local_rows_ref[:]
+    neutral = -_BIG if is_max else _BIG
+    combine = jnp.maximum if is_max else jnp.minimum
+
+    v = data_ref[:].astype(jnp.float32)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    for k in range(int(math.log2(tile))):
+        s_ = 1 << k
+        v_sh = pltpu.roll(v, shift=s_, axis=0)
+        r_sh = pltpu.roll(rows2, shift=s_, axis=0)
+        valid = jnp.logical_and(pos >= s_, r_sh == rows2)
+        v = combine(v, jnp.where(valid, v_sh, jnp.float32(neutral)))
+    nxt = pltpu.roll(rows2, shift=tile - 1, axis=0)
+    last = jnp.logical_or(nxt != rows2, pos == tile - 1)
+    mark = jnp.logical_and(last, rows2 < r)
+    marked = jnp.concatenate(
+        [jnp.where(mark, v, 0.0), mark.astype(jnp.float32)], axis=1
+    )
+    onehot_t = (
+        jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0) == rows_row_ref[0:1, :]
+    ).astype(jnp.float32)
+    sel = jax.lax.dot_general(
+        onehot_t, marked, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [R, D+1]: run extremum per present row + presence flag
+    contrib = jnp.where(sel[:, -1:] > 0, sel[:, :-1], jnp.float32(neutral))
+    out_ref[0] = contrib
+
+
+def _run_kernel_two_phase(
+    plan: AggregationPlan, data_sorted: jax.Array, *, kind: str, is_max: bool = True
+) -> jax.Array:
+    num_tiles = plan.tile_row_blocks.shape[0]
+    agg_tile = plan.local_rows.shape[0] // num_tiles
+    num_row_blocks, r = plan.counts.shape
+    d = data_sorted.shape[1]
+
+    in_specs = []
+    args = []
+    if kind != "sum":
+        in_specs.append(
+            pl.BlockSpec((agg_tile, 1), lambda t: (t, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(plan.local_rows)
+    in_specs.append(
+        pl.BlockSpec((8, agg_tile), lambda t: (t, 0), memory_space=pltpu.VMEM)
+    )
+    args.append(plan.local_rows_row)
+    in_specs.append(
+        pl.BlockSpec((agg_tile, d), lambda t: (t, 0), memory_space=pltpu.VMEM)
+    )
+    args.append(data_sorted)
+
+    kernel = (
+        _sum_kernel_phase1
+        if kind == "sum"
+        else functools.partial(_extremum_kernel_phase1, is_max=is_max)
+    )
+    partials = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, r, d), jnp.float32),
+        grid=(num_tiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, r, d), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_tiles * agg_tile * r * d,
+            bytes_accessed=num_tiles * agg_tile * d * 4 + num_tiles * r * d * 4,
+            transcendentals=0,
+        ),
+    )(*args)
+
+    flat = partials.reshape(num_tiles, r * d)
+    if kind == "sum":
+        combined = jax.ops.segment_sum(
+            flat, plan.tile_row_blocks, num_segments=num_row_blocks
+        )
+    elif is_max:
+        combined = jax.ops.segment_max(
+            flat, plan.tile_row_blocks, num_segments=num_row_blocks,
+            indices_are_sorted=True,
+        )
+    else:
+        combined = jax.ops.segment_min(
+            flat, plan.tile_row_blocks, num_segments=num_row_blocks,
+            indices_are_sorted=True,
+        )
+    return combined.reshape(num_row_blocks * r, d)
