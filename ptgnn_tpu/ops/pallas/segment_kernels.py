@@ -163,12 +163,19 @@ def _sum_kernel(tile_rb_ref, rows_row_ref, data_ref, out_ref):
         jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0) == rows_row
     ).astype(data_ref.dtype)  # [R, agg_tile]; sentinel row R matches nothing
 
+    # bf16 inputs: a single MXU pass accumulates exactly in f32; f32 inputs
+    # need HIGHEST to avoid bf16-split rounding.
+    precision = (
+        jax.lax.Precision.DEFAULT
+        if data_ref.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
     contrib = jax.lax.dot_general(
         onehot_t,
         data_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,  # exact f32 accumulation
+        precision=precision,
     )  # [R, D]
 
     @pl.when(is_start)
@@ -373,10 +380,13 @@ def planned_segment_reduce(
     """torch-scatter-compatible reduce over the fast path. Accumulates in
     fp32 and casts back to data's dtype (AMP-safe, like ops.segment)."""
     orig_dtype = data.dtype
-    data = data.astype(jnp.float32)
+    # bf16 stays bf16 through the gather and kernel input (half the HBM
+    # traffic); accumulation is f32 either way.
+    if data.dtype not in (jnp.float32, jnp.bfloat16):
+        data = data.astype(jnp.float32)
     if reduction in ("sum", "add", "mean"):
         if mask is not None:
-            data = jnp.where(mask[:, None], data, 0.0)
+            data = jnp.where(mask[:, None], data, jnp.zeros((), data.dtype))
         out = planned_segment_sum(data, receivers, plan, num_nodes, mask is None)
         if reduction == "mean":
             if mask is None:
@@ -392,8 +402,10 @@ def planned_segment_reduce(
     elif reduction in ("max", "min"):
         is_max = reduction == "max"
         neutral = -_BIG if is_max else _BIG
+        if data.dtype == jnp.bfloat16:
+            neutral = float(jnp.finfo(jnp.bfloat16).min if is_max else jnp.finfo(jnp.bfloat16).max)
         if mask is not None:
-            data = jnp.where(mask[:, None], data, neutral)
+            data = jnp.where(mask[:, None], data, jnp.asarray(neutral, data.dtype))
         out = planned_segment_extremum(data, receivers, plan, num_nodes, is_max)
     else:
         raise ValueError(f"Unknown reduction '{reduction}'")
