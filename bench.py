@@ -140,6 +140,28 @@ def main() -> None:
         f"{total_graphs/elapsed:.1f} graphs/s (loss {float(loss):.4f})"
     )
 
+    # Inference throughput (reference test numbers: ~2,527k edges/s on V100).
+    def eval_step(params, mb):
+        p = _cast(params, jnp.bfloat16) if enable_amp else params
+        m = _cast(mb, jnp.bfloat16) if enable_amp else mb
+        loss, _ = module.apply(p, **m, train=False)
+        return loss
+
+    ev = jax.jit(eval_step)
+    l0 = ev(params, device_batches[0])
+    float(l0)
+    t0 = time.time()
+    ev_edges = 0
+    for i in range(args.steps):
+        l0 = ev(params, device_batches[i % len(device_batches)])
+        ev_edges += batch_sizes[i % len(device_batches)][0]
+    float(l0)
+    ev_elapsed = time.time() - t0
+    log(
+        f"inference: {ev_edges/ev_elapsed/1e3:.0f}k edges/s "
+        f"({ev_edges/ev_elapsed/2_527_000:.2f}x of the reference's V100 test throughput)"
+    )
+
     print(
         json.dumps(
             {

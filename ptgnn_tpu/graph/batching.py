@@ -240,20 +240,20 @@ class GraphBatcher:
         # in one pass; the Python code below is the fallback + oracle.
         from ptgnn_tpu import native as native_mod
 
-        native_result = None if self.track_edge_features else native_mod.assemble_edge_layout(
-            senders_r, receivers_r, types_r,
+        native_result = native_mod.assemble_edge_layout(
+            senders_r, receivers_r, types_r, feats_r,
             max_nodes=n_pad, e_pad=e_pad, tile=tile, agg_rows=r,
             num_types=t_total,
         )
         if native_result is not None:
             (senders, receivers, edge_types, local_rows, edge_mask,
-             tile_types, tile_row_blocks, counts) = native_result
+             tile_types, tile_row_blocks, counts, feature_slot) = native_result
             return self._build_graph_batch(
                 mb, node_data, reference_names,
                 senders=senders, receivers=receivers, edge_types=edge_types,
                 local_rows=local_rows, edge_mask=edge_mask,
                 tile_types=tile_types, tile_row_blocks=tile_row_blocks,
-                counts=counts,
+                counts=counts, feature_slot=feature_slot,
             )
 
         # Sort by (row block, type, receiver).
@@ -330,7 +330,7 @@ class GraphBatcher:
             senders=senders, receivers=receivers, edge_types=edge_types,
             local_rows=local_rows, edge_mask=edge_mask, tile_types=tile_types,
             tile_row_blocks=tile_row_blocks, counts=counts.reshape(num_blocks, r),
-            feature_slot=feature_slot if self.track_edge_features else None,
+            feature_slot=feature_slot,
         )
 
     def _build_graph_batch(

@@ -51,12 +51,12 @@ def get_assembler() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(str(_LIB_PATH))
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
-        lib.assemble_edge_layout.restype = ctypes.c_int
-        lib.assemble_edge_layout.argtypes = [
-            i32p, i32p, i32p,
+        lib.assemble_edge_layout_v2.restype = ctypes.c_int
+        lib.assemble_edge_layout_v2.argtypes = [
+            i32p, i32p, i32p, i32p,
             ctypes.c_int64, ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32,
-            i32p, i32p, i32p, i32p, u8p, i32p, i32p, i32p,
+            i32p, i32p, i32p, i32p, u8p, i32p, i32p, i32p, i32p,
         ]
         _lib = lib
     except OSError as exc:
@@ -68,6 +68,7 @@ def assemble_edge_layout(
     senders: np.ndarray,
     receivers: np.ndarray,
     types: np.ndarray,
+    payload: Optional[np.ndarray] = None,
     *,
     max_nodes: int,
     e_pad: int,
@@ -90,18 +91,22 @@ def assemble_edge_layout(
     out_tile_types = np.empty(n_tiles, np.int32)
     out_tile_row_blocks = np.empty(n_tiles, np.int32)
     out_counts = np.empty(num_blocks * agg_rows, np.int32)
-    rc = lib.assemble_edge_layout(
+    out_payload = np.empty(e_pad, np.int32)
+    if payload is None:
+        payload = np.full(len(senders), -1, np.int32)
+    rc = lib.assemble_edge_layout_v2(
         np.ascontiguousarray(senders, np.int32),
         np.ascontiguousarray(receivers, np.int32),
         np.ascontiguousarray(types, np.int32),
+        np.ascontiguousarray(payload, np.int32),
         len(senders), max_nodes, e_pad, tile, agg_rows, num_types,
         out_senders, out_receivers, out_types, out_local_rows, out_mask,
-        out_tile_types, out_tile_row_blocks, out_counts,
+        out_tile_types, out_tile_row_blocks, out_counts, out_payload,
     )
     if rc != 0:
         return None
     return (
         out_senders, out_receivers, out_types, out_local_rows,
         out_mask.astype(bool), out_tile_types, out_tile_row_blocks,
-        out_counts.reshape(num_blocks, agg_rows),
+        out_counts.reshape(num_blocks, agg_rows), out_payload,
     )

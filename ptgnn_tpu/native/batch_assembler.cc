@@ -27,13 +27,14 @@ extern "C" {
 //   out_local_rows[e_pad], out_mask[e_pad] (uint8),
 //   out_tile_types[e_pad/tile], out_tile_row_blocks[e_pad/tile],
 //   out_counts[num_row_blocks * agg_rows]
-int assemble_edge_layout(
+int assemble_edge_layout_v2(
     const int32_t* senders, const int32_t* receivers, const int32_t* types,
+    const int32_t* payload,  // per-edge auxiliary ids carried through the sort
     int64_t num_edges, int32_t max_nodes, int64_t e_pad, int32_t tile,
     int32_t agg_rows, int32_t num_types,
     int32_t* out_senders, int32_t* out_receivers, int32_t* out_types,
     int32_t* out_local_rows, uint8_t* out_mask, int32_t* out_tile_types,
-    int32_t* out_tile_row_blocks, int32_t* out_counts) {
+    int32_t* out_tile_row_blocks, int32_t* out_counts, int32_t* out_payload) {
   const int32_t num_blocks = (max_nodes + agg_rows - 1) / agg_rows;
   const int64_t n_tiles = e_pad / tile;
   const int64_t num_buckets = static_cast<int64_t>(num_blocks) * num_types;
@@ -88,6 +89,7 @@ int assemble_edge_layout(
   std::memset(out_senders, 0, sizeof(int32_t) * e_pad);
   for (int64_t i = 0; i < e_pad; ++i) out_receivers[i] = max_nodes;
   for (int64_t i = 0; i < e_pad; ++i) out_local_rows[i] = agg_rows;
+  for (int64_t i = 0; i < e_pad; ++i) out_payload[i] = -1;
   std::memset(out_mask, 0, e_pad);
 
   // Scatter edges into their buckets (stable within input order), then sort
@@ -99,22 +101,26 @@ int assemble_edge_layout(
     const int64_t pos = bucket_offset[k] + fill[k]++;
     out_senders[pos] = senders[i];
     out_receivers[pos] = receivers[i];
+    out_payload[pos] = payload[i];
     out_mask[pos] = 1;
   }
   for (int64_t k = 0; k < num_buckets; ++k) {
     if (bucket_count[k] == 0) continue;
     const int64_t s0 = bucket_offset[k];
     const int64_t s1 = s0 + bucket_count[k];
-    // sort (receiver, sender) pairs of the slice by receiver
-    std::vector<std::pair<int32_t, int32_t>> tmp(bucket_count[k]);
-    for (int64_t i = s0; i < s1; ++i) tmp[i - s0] = {out_receivers[i], out_senders[i]};
+    // sort (receiver, sender, payload) triples of the slice by receiver
+    struct Rec { int32_t recv, send, pay; };
+    std::vector<Rec> tmp(bucket_count[k]);
+    for (int64_t i = s0; i < s1; ++i)
+      tmp[i - s0] = {out_receivers[i], out_senders[i], out_payload[i]};
     std::stable_sort(tmp.begin(), tmp.end(),
-                     [](const auto& a, const auto& b) { return a.first < b.first; });
+                     [](const Rec& a, const Rec& b) { return a.recv < b.recv; });
     const int32_t block_base = (k / num_types) * agg_rows;
     for (int64_t i = s0; i < s1; ++i) {
-      out_receivers[i] = tmp[i - s0].first;
-      out_senders[i] = tmp[i - s0].second;
-      out_local_rows[i] = tmp[i - s0].first - block_base;
+      out_receivers[i] = tmp[i - s0].recv;
+      out_senders[i] = tmp[i - s0].send;
+      out_payload[i] = tmp[i - s0].pay;
+      out_local_rows[i] = tmp[i - s0].recv - block_base;
     }
   }
 

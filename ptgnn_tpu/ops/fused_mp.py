@@ -49,7 +49,11 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ptgnn_tpu.ops.pallas.segment_kernels import adjacency_segment_reduce
+from ptgnn_tpu.ops.pallas.segment_kernels import (
+    adjacency_segment_reduce,
+    plan_from_adjacency,
+    planned_segment_extremum_with_argmax,
+)
 from ptgnn_tpu.ops.typed_linear import typed_tile_matmul
 
 _BIG = 3.0e38
@@ -110,7 +114,8 @@ def _route_cotangent(
 
 
 def _forward_parts(
-    x, weight_stack, adj, *, use_target_state: bool, drop_mask, tile_types
+    x, weight_stack, adj, *, use_target_state: bool, drop_mask, tile_types,
+    compute_messages: bool = True,
 ):
     """Gather inputs, apply dropout, compute messages (primary or transpose
     orientation depending on (senders, receivers, tile_types) given)."""
@@ -132,6 +137,8 @@ def _forward_parts(
             inp / jnp.asarray(keep, inp.dtype),
             jnp.zeros((), inp.dtype),
         )
+    if not compute_messages:
+        return inp, None
     tile = senders.shape[0] // tile_types.shape[0]
     msgs = typed_tile_matmul(inp, weight_stack, tile_types, tile)
     return inp, msgs
@@ -154,39 +161,62 @@ def fused_typed_message_aggregation(
     return out
 
 
+def mask_cols(mask, like):
+    return mask[:, None] if like.ndim == 2 else mask.reshape(
+        mask.shape + (1,) * (like.ndim - 1)
+    )
+
+
 def _fused_fwd_impl(
     node_states, weight_stack, adj_and_rng, num_nodes, reduction,
     use_target_state, dropout_keep,
 ):
     adj, seed = adj_and_rng
-    xf = node_states
     drop = None
     if dropout_keep < 1.0:
         drop = (seed, _canonical_edge_key(adj), dropout_keep)
     _, msgs = _forward_parts(
-        xf, weight_stack, (adj.senders, adj.receivers),
+        node_states, weight_stack, (adj.senders, adj.receivers),
         use_target_state=use_target_state, drop_mask=drop, tile_types=adj.tile_types,
     )
+    if reduction in ("max", "min") and _use_argmax_routing():
+        is_max = reduction == "max"
+        neutral = -_BIG if is_max else _BIG
+        work = jnp.where(mask_cols(adj.mask, msgs), msgs,
+                         jnp.asarray(neutral, msgs.dtype))
+        vals, args = planned_segment_extremum_with_argmax(
+            work.astype(jnp.float32), adj.receivers, plan_from_adjacency(adj),
+            num_nodes, is_max,
+        )
+        return vals.astype(msgs.dtype), args
     out = adjacency_segment_reduce(msgs, adj, num_nodes, reduction, mask=adj.mask)
-    return out, drop
+    return out, None
+
+
+def _use_argmax_routing() -> bool:
+    # Measured 3x SLOWER end to end on v5e: the dual dynamically indexed
+    # outputs + per-feature index tracking defeat the kernel's pipelining.
+    # Kept behind a flag; the value-based tie-split backward is the default.
+    import os
+
+    return bool(os.environ.get("PTGNN_TPU_ARGMAX_ROUTING"))
 
 
 def _fused_fwd(
     node_states, weight_stack, adj_and_rng, num_nodes, reduction,
     use_target_state, dropout_keep,
 ):
-    out, _ = _fused_fwd_impl(
+    out, args = _fused_fwd_impl(
         node_states, weight_stack, adj_and_rng, num_nodes, reduction,
         use_target_state, dropout_keep,
     )
-    return out, (node_states, weight_stack, adj_and_rng, out)
+    return out, (node_states, weight_stack, adj_and_rng, out, args)
 
 
 def _fused_bwd(num_nodes, reduction, use_target_state, dropout_keep, res, g):
-    node_states, weight_stack, (adj, seed), out = res
+    node_states, weight_stack, (adj, seed), out, args = res
     n, d = node_states.shape
     g = g.astype(jnp.float32)
-    out_f = out.astype(jnp.float32)
     is_extremum = reduction in ("max", "min")
 
     drop = None
@@ -199,27 +229,95 @@ def _fused_bwd(num_nodes, reduction, use_target_state, dropout_keep, res, g):
     if reduction == "mean":
         counts_flat = adj.agg_counts.reshape(-1)[:num_nodes].astype(jnp.float32)
 
-    # ---- primary orientation: recompute inputs/messages; dW; target part --
-    inp, msgs = _forward_parts(
-        node_states, weight_stack, (adj.senders, adj.receivers),
-        use_target_state=use_target_state, drop_mask=drop, tile_types=adj.tile_types,
-    )
-    msgs_f = msgs.astype(jnp.float32)
+    e_pad = adj.senders.shape[0]
+    tile = adj.edge_tile
 
     ties = None
-    if is_extremum:
-        out_e = jnp.take(out_f, adj.receivers, axis=0, mode="fill", fill_value=_BIG)
-        indicator = jnp.logical_and(msgs_f == out_e, adj.mask[:, None]).astype(
-            jnp.float32
+    if is_extremum and args is None:
+        # value-based tie-splitting: one indicator pass over the primary
+        # orientation (shared by both routing directions)
+        _, _msgs_p = _forward_parts(
+            node_states, weight_stack, (adj.senders, adj.receivers),
+            use_target_state=use_target_state, drop_mask=drop,
+            tile_types=adj.tile_types,
         )
-        ties = adjacency_segment_reduce(indicator, adj, num_nodes, "sum", mask=adj.mask)
+        _out_f = out.astype(jnp.float32)
+        _out_e = jnp.take(_out_f, adj.receivers, axis=0, mode="fill", fill_value=_BIG)
+        _indicator_p = jnp.logical_and(
+            _msgs_p.astype(jnp.float32) == _out_e, adj.mask[:, None]
+        ).astype(jnp.float32)
+        ties = adjacency_segment_reduce(
+            _indicator_p, adj, num_nodes, "sum", mask=adj.mask
+        )
 
-    d_msgs = _route_cotangent(
-        g, msgs_f, reduction, adj.receivers, adj.mask, counts_flat, out_f, ties
+    def route_primary():
+        """Per-edge message cotangent, primary orientation, gathers only."""
+        g_e = jnp.take(g, adj.receivers, axis=0, mode="fill", fill_value=0.0)
+        if reduction in ("sum", "add"):
+            d_msgs = g_e
+        elif reduction == "mean":
+            cnt = jnp.take(counts_flat, adj.receivers, mode="fill", fill_value=1.0)
+            d_msgs = g_e / jnp.maximum(cnt, 1.0)[:, None]
+        elif args is not None:
+            # single-winner argmax routing (torch-scatter semantics)
+            arg_e = jnp.take(args, adj.receivers, axis=0, mode="fill", fill_value=-2)
+            slots = jnp.arange(e_pad, dtype=jnp.int32)[:, None]
+            d_msgs = (slots == arg_e).astype(jnp.float32) * g_e
+        else:
+            # value-based tie-splitting (jax segment_max semantics)
+            ties_e = jnp.take(ties, adj.receivers, axis=0, mode="fill", fill_value=1.0)
+            d_msgs = _indicator_p * g_e / jnp.maximum(ties_e, 1.0)
+        return jnp.where(adj.mask[:, None], d_msgs, 0.0)
+
+    def route_transpose():
+        """Cotangent of each slot's PAIR edge, from per-node arrays gathered
+        through this slot's own endpoints."""
+        g_e = jnp.take(g, adj.senders, axis=0, mode="fill", fill_value=0.0)
+        if reduction in ("sum", "add"):
+            d_msgs = g_e
+        elif reduction == "mean":
+            cnt = jnp.take(counts_flat, adj.senders, mode="fill", fill_value=1.0)
+            d_msgs = g_e / jnp.maximum(cnt, 1.0)[:, None]
+        elif args is not None:
+            # the pair edge e = (u -> v, tau) wins at v=senders iff the
+            # winning slot's (pair id, type) matches this slot's
+            # (pair id, transposed type)
+            pair = adj.edge_feature_slot  # doubles as the fwd/bwd pair id
+            pair_of_arg = jnp.take(pair, args, mode="fill", fill_value=-7)  # [N, D]
+            type_of_arg = jnp.take(adj.edge_types, args, mode="fill", fill_value=-7)
+            poa_e = jnp.take(pair_of_arg, adj.senders, axis=0, mode="fill", fill_value=-8)
+            toa_e = jnp.take(type_of_arg, adj.senders, axis=0, mode="fill", fill_value=-8)
+            tau = jnp.repeat(adj.tile_types_transposed, tile)
+            indicator = jnp.logical_and(
+                pair[:, None] == poa_e, tau[:, None] == toa_e
+            ).astype(jnp.float32)
+            d_msgs = indicator * g_e
+        else:
+            # value-based: recompute the pair's message in transpose
+            # orientation and compare against the aggregated extremum at v
+            _, msgs_tr = _forward_parts(
+                node_states, weight_stack, (adj.receivers, adj.senders),
+                use_target_state=use_target_state, drop_mask=drop,
+                tile_types=adj.tile_types_transposed,
+            )
+            out_f = out.astype(jnp.float32)
+            out_v = jnp.take(out_f, adj.senders, axis=0, mode="fill", fill_value=_BIG)
+            indicator = jnp.logical_and(
+                msgs_tr.astype(jnp.float32) == out_v, adj.mask[:, None]
+            ).astype(jnp.float32)
+            ties_e = jnp.take(ties, adj.senders, axis=0, mode="fill", fill_value=1.0)
+            d_msgs = indicator * g_e / jnp.maximum(ties_e, 1.0)
+        return jnp.where(adj.mask[:, None], d_msgs, 0.0)
+
+    d_msgs = route_primary()
+
+    # dW: per-tile inp^T @ d_msgs, segment-summed by tile type (inputs are
+    # recomputed by gathers; messages are never rematerialized).
+    inp, _ = _forward_parts(
+        node_states, weight_stack, (adj.senders, adj.receivers),
+        use_target_state=use_target_state, drop_mask=drop,
+        tile_types=adj.tile_types, compute_messages=False,
     )
-
-    # dW: per-tile inp^T @ d_msgs, segment-summed by tile type.
-    tile = adj.edge_tile
     n_tiles = adj.tile_types.shape[0]
     din = inp.shape[1]
     m = d_msgs.shape[1]
@@ -235,42 +333,30 @@ def _fused_bwd(num_nodes, reduction, use_target_state, dropout_keep, res, g):
 
     # d msg_input (primary orientation), for the target part.
     w_t = jnp.swapaxes(weight_stack, 1, 2)  # [T, M, Din]
-    d_inp = typed_tile_matmul(d_msgs, w_t, adj.tile_types, tile)  # [E, Din]
-    if drop is not None:
+
+    def apply_dropout_bwd(x):
+        if drop is None:
+            return x
         keep = dropout_keep
-        d_inp = jnp.where(
-            _sym_dropout_mask(seed, edge_key, din, 1.0 - keep),
-            d_inp / jnp.asarray(keep, d_inp.dtype),
-            jnp.zeros((), d_inp.dtype),
+        return jnp.where(
+            _sym_dropout_mask(seed, edge_key, x.shape[1], 1.0 - keep),
+            x / jnp.asarray(keep, x.dtype),
+            jnp.zeros((), x.dtype),
         )
 
-    target_cotangent = d_inp[:, d:] if use_target_state else None
-
-    # ---- transpose orientation: sender part as a receiver-keyed aggregate --
-    # Each slot e' = (v -> u, t') carries the gradient of its pair
-    # e = (u -> v, tau(t')): recompute e's message with u = receivers[e'],
-    # v = senders[e'], weights indexed by the transposed tile types, route
-    # with per-node arrays gathered through senders[e'] (= v), and aggregate
-    # d msg_input_src over receivers[e'] (= u).
-    inp_tr, msgs_tr = _forward_parts(
-        node_states, weight_stack, (adj.receivers, adj.senders),
-        use_target_state=use_target_state, drop_mask=drop,
-        tile_types=adj.tile_types_transposed,
-    )
-    del inp_tr
-    d_msgs_tr = _route_cotangent(
-        g, msgs_tr.astype(jnp.float32), reduction, adj.senders, adj.mask,
-        counts_flat, out_f, ties,
-    )
-    w_t_trans = w_t
-    d_inp_tr = typed_tile_matmul(d_msgs_tr, w_t_trans, adj.tile_types_transposed, tile)
-    if drop is not None:
-        keep = dropout_keep
-        d_inp_tr = jnp.where(
-            _sym_dropout_mask(seed, edge_key, din, 1.0 - keep),
-            d_inp_tr / jnp.asarray(keep, d_inp_tr.dtype),
-            jnp.zeros((), d_inp_tr.dtype),
+    target_cotangent = None
+    if use_target_state:
+        d_inp = apply_dropout_bwd(
+            typed_tile_matmul(d_msgs, w_t, adj.tile_types, tile)
         )
+        target_cotangent = d_inp[:, d:]
+
+    # ---- transpose orientation: sender part, no recompute of messages ----
+    d_msgs_tr = route_transpose()
+    d_inp_tr = apply_dropout_bwd(
+        typed_tile_matmul(d_msgs_tr, w_t, adj.tile_types_transposed, tile)
+    )
+
     # One kernel call aggregates both the target-side and (transpose-derived)
     # sender-side cotangents: concat along features, split after.
     if target_cotangent is not None:

@@ -720,3 +720,124 @@ def _run_kernel_two_phase(
             indices_are_sorted=True,
         )
     return combined.reshape(num_row_blocks * r, d)
+
+
+# ---------------------------------------------------------------------------
+# Argmax-carrying extremum (single-winner routing)
+# ---------------------------------------------------------------------------
+# Carrying the winning edge slot per (node, feature) lets the max/min
+# backward route cotangents with pure gathers — no tie-count kernel pass and
+# no message recomputation (ops/fused_mp.py). Single-winner (first
+# occurrence) semantics match torch-scatter's argmax routing, which is what
+# the reference trains with.
+
+
+def _extremum_argmax_kernel(
+    tile_rb_ref, local_rows_ref, rows_row_ref, data_ref, out_val_ref, out_arg_ref,
+    *, is_max: bool
+):
+    t = pl.program_id(0)
+    tile = data_ref.shape[0]
+    r = out_val_ref.shape[0]
+    d = data_ref.shape[1]
+    rows2 = local_rows_ref[:]
+    neutral = -_BIG if is_max else _BIG
+
+    prev_rb = tile_rb_ref[jnp.maximum(t - 1, 0)]
+    is_start = jnp.logical_or(t == 0, tile_rb_ref[t] != prev_rb)
+
+    v = data_ref[:].astype(jnp.float32)
+    base = (t * tile).astype(jnp.float32) if hasattr(t, "astype") else t * tile
+    idx = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile, d), 0).astype(jnp.float32)
+        + base
+    )  # global slot per row (broadcast over features)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    better_op = (lambda a, b: a >= b) if is_max else (lambda a, b: a <= b)
+    for k in range(int(math.log2(tile))):
+        s_ = 1 << k
+        v_sh = pltpu.roll(v, shift=s_, axis=0)
+        i_sh = pltpu.roll(idx, shift=s_, axis=0)
+        r_sh = pltpu.roll(rows2, shift=s_, axis=0)
+        valid = jnp.logical_and(pos >= s_, r_sh == rows2)
+        # shifted elements are EARLIER slots; >= keeps first occurrence on ties
+        take_sh = jnp.logical_and(valid, better_op(v_sh, v))
+        v = jnp.where(take_sh, v_sh, v)
+        idx = jnp.where(take_sh, i_sh, idx)
+    nxt = pltpu.roll(rows2, shift=tile - 1, axis=0)
+    last = jnp.logical_or(nxt != rows2, pos == tile - 1)
+    mark = jnp.logical_and(last, rows2 < r)
+    marked = jnp.concatenate(
+        [jnp.where(mark, v, 0.0), jnp.where(mark, idx, 0.0),
+         mark.astype(jnp.float32)], axis=1
+    )  # [tile, 2D + 1]
+    onehot_t = (
+        jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0) == rows_row_ref[0:1, :]
+    ).astype(jnp.float32)
+    sel = jax.lax.dot_general(
+        onehot_t, marked, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [R, 2D + 1]
+    c_val = sel[:, :d]
+    c_idx = sel[:, d : 2 * d]
+    present = sel[:, -1:] > 0
+    strictly = (lambda a, b: a > b) if is_max else (lambda a, b: a < b)
+
+    @pl.when(is_start)
+    def _():
+        out_val_ref[:] = jnp.where(present, c_val, jnp.float32(neutral))
+        out_arg_ref[:] = jnp.where(present, c_idx, -1.0)
+
+    @pl.when(jnp.logical_not(is_start))
+    def _():
+        # earlier tiles hold earlier slots; strict compare keeps first winner
+        win = jnp.logical_and(present, strictly(c_val, out_val_ref[:]))
+        out_val_ref[:] = jnp.where(win, c_val, out_val_ref[:])
+        out_arg_ref[:] = jnp.where(win, c_idx, out_arg_ref[:])
+
+
+def planned_segment_extremum_with_argmax(
+    data, receivers, plan, num_nodes: int, is_max: bool = True
+):
+    """Like planned_segment_extremum, but also returns the winning edge slot
+    per (node, feature) ([num_nodes, D] int32, -1 for empty). Not
+    differentiated directly — callers implement routing themselves."""
+    del receivers
+    num_tiles = plan.tile_row_blocks.shape[0]
+    agg_tile = plan.local_rows.shape[0] // num_tiles
+    num_row_blocks, r = plan.counts.shape
+    data_sorted = _gather_sorted(data, plan, -_BIG if is_max else _BIG)
+    d = data_sorted.shape[1]
+
+    kernel = functools.partial(_extremum_argmax_kernel, is_max=is_max)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((agg_tile, 1), lambda t, rb: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, agg_tile), lambda t, rb: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((agg_tile, d), lambda t, rb: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((r, d), lambda t, rb: (rb[t], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, d), lambda t, rb: (rb[t], 0), memory_space=pltpu.VMEM),
+        ),
+    )
+    vals, args = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((num_row_blocks * r, d), jnp.float32),
+            jax.ShapeDtypeStruct((num_row_blocks * r, d), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+    )(plan.tile_row_blocks, plan.local_rows, plan.local_rows_row, data_sorted)
+    vals = vals[:num_nodes]
+    args = args[:num_nodes].astype(jnp.int32)
+    counts = plan.counts.reshape(-1)[:num_nodes]
+    empty = counts[:, None] == 0
+    degenerate = jnp.abs(vals) >= _BIG / 2
+    invalid = jnp.logical_or(empty, degenerate)
+    vals = jnp.where(invalid, 0.0, vals)
+    args = jnp.where(invalid, -1, args)
+    return vals, args
