@@ -95,24 +95,6 @@ def _sym_dropout_mask(
     return h >= threshold
 
 
-def _route_cotangent(
-    g_node, msgs, reduction: str, recv, mask, counts_flat, out_node, ties_node
-):
-    """Per-edge message cotangent from per-node arrays (gathered by recv)."""
-    g_e = jnp.take(g_node, recv, axis=0, mode="fill", fill_value=0.0)
-    if reduction in ("sum", "add"):
-        d_msgs = g_e
-    elif reduction == "mean":
-        cnt = jnp.take(counts_flat, recv, mode="fill", fill_value=1.0)
-        d_msgs = g_e / jnp.maximum(cnt, 1.0)[:, None]
-    else:  # max / min: split among tied extrema
-        out_e = jnp.take(out_node, recv, axis=0, mode="fill", fill_value=_BIG)
-        ties_e = jnp.take(ties_node, recv, axis=0, mode="fill", fill_value=1.0)
-        indicator = (msgs == out_e).astype(jnp.float32)
-        d_msgs = indicator * g_e / jnp.maximum(ties_e, 1.0)
-    return jnp.where(mask[:, None], d_msgs, 0.0)
-
-
 def _forward_parts(
     x, weight_stack, adj, *, use_target_state: bool, drop_mask, tile_types,
     compute_messages: bool = True,
