@@ -307,7 +307,9 @@ def planned_segment_sum(data, receivers, plan, num_nodes: int, _mask_is_none: bo
     by the backward gather.
     """
     data_sorted = _gather_sorted(data, plan, 0.0)
-    if _resident_fits(plan, data_sorted.shape[1]):
+    if _use_blockloop():
+        out = _run_kernel_blockloop(plan, data_sorted)
+    elif _resident_fits(plan, data_sorted.shape[1]):
         out = _run_kernel_resident(plan, data_sorted, kind="sum")
     elif _use_two_phase():
         out = _run_kernel_two_phase(plan, data_sorted, kind="sum")
@@ -841,3 +843,131 @@ def planned_segment_extremum_with_argmax(
     vals = jnp.where(invalid, 0.0, vals)
     args = jnp.where(invalid, -1, args)
     return vals, args
+
+
+# ---------------------------------------------------------------------------
+# Block-loop variant: static output grid + manual double-buffered DMA
+# ---------------------------------------------------------------------------
+# Grid iterates ROW BLOCKS (output mapping is static), and each step streams
+# its block's edge tiles from HBM with a two-slot async-copy pipeline. This
+# avoids both failure modes measured above: no scalar-prefetch-indexed
+# output block (revisit kernel) and no per-tile partial materialization
+# (two-phase kernel).
+
+
+def _make_blockloop_sum_kernel(r: int, tile: int, d: int):
+    def kernel(starts_ref, rows_hbm, data_hbm, out_ref, acc, rows_buf, data_buf, sems):
+        b = pl.program_id(0)
+        t0 = starts_ref[b]
+        t1 = starts_ref[b + 1]
+        nt = t1 - t0
+
+        def rows_dma(slot, k):
+            return pltpu.make_async_copy(
+                rows_hbm.at[pl.ds((t0 + k) * 8, 8), :],
+                rows_buf.at[slot],
+                sems.at[slot, 0],
+            )
+
+        def data_dma(slot, k):
+            return pltpu.make_async_copy(
+                data_hbm.at[pl.ds((t0 + k) * tile, tile), :],
+                data_buf.at[slot],
+                sems.at[slot, 1],
+            )
+
+        acc[:] = jnp.zeros((r, d), jnp.float32)
+
+        @pl.when(nt > 0)
+        def _():
+            rows_dma(0, 0).start()
+            data_dma(0, 0).start()
+
+            def body(k, carry):
+                slot = jax.lax.rem(k, 2)
+                nxt = jax.lax.rem(k + 1, 2)
+
+                @pl.when(k + 1 < nt)
+                def _():
+                    rows_dma(nxt, k + 1).start()
+                    data_dma(nxt, k + 1).start()
+
+                rows_dma(slot, k).wait()
+                data_dma(slot, k).wait()
+                rows_row = rows_buf[slot][0:1, :]  # [1, tile]
+                data = data_buf[slot]  # [tile, d]
+                onehot_t = (
+                    jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0) == rows_row
+                ).astype(data.dtype)
+                precision = (
+                    jax.lax.Precision.DEFAULT
+                    if data.dtype == jnp.bfloat16
+                    else jax.lax.Precision.HIGHEST
+                )
+                acc[:] = acc[:] + jax.lax.dot_general(
+                    onehot_t, data, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision,
+                )
+                return carry
+
+            jax.lax.fori_loop(0, nt, body, 0)
+
+        out_ref[:] = acc[:]
+
+    return kernel
+
+
+def _blockloop_starts(plan: AggregationPlan) -> jax.Array:
+    """[num_blocks + 1] first-tile index per row block (host/trace compute).
+
+    tile_row_blocks is non-decreasing and every block has >= 1 tile, except
+    trailing spare tiles which repeat the last block — searchsorted handles
+    both."""
+    num_blocks = plan.counts.shape[0]
+    trb = plan.tile_row_blocks
+    return jnp.searchsorted(
+        trb, jnp.arange(num_blocks + 1, dtype=trb.dtype), side="left"
+    ).astype(jnp.int32)
+
+
+def _run_kernel_blockloop(plan: AggregationPlan, data_sorted: jax.Array) -> jax.Array:
+    num_tiles = plan.tile_row_blocks.shape[0]
+    agg_tile = plan.local_rows.shape[0] // num_tiles
+    num_row_blocks, r = plan.counts.shape
+    d = data_sorted.shape[1]
+    starts = _blockloop_starts(plan)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_row_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # rows_row stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # data stays in HBM
+        ],
+        out_specs=pl.BlockSpec((r, d), lambda b, st: (b, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((r, d), jnp.float32),
+            pltpu.VMEM((2, 8, agg_tile), plan.local_rows_row.dtype),
+            pltpu.VMEM((2, agg_tile, d), data_sorted.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        _make_blockloop_sum_kernel(r, agg_tile, d),
+        out_shape=jax.ShapeDtypeStruct((num_row_blocks * r, d), jnp.float32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_tiles * agg_tile * r * d,
+            bytes_accessed=num_tiles * agg_tile * d * 4 + num_row_blocks * r * d * 4,
+            transcendentals=0,
+        ),
+    )(starts, plan.local_rows_row, data_sorted)
+
+
+def _use_blockloop() -> bool:
+    # DISABLED by default: hangs on v5e through this toolchain (same class
+    # of failure as the resident variant — nontrivial manual-DMA loops never
+    # return). Correct under the interpreter; revisit on newer jax/Mosaic.
+    import os
+
+    return bool(os.environ.get("PTGNN_TPU_BLOCKLOOP_KERNEL"))
