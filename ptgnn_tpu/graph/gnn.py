@@ -45,6 +45,19 @@ class GraphNeuralNetwork(Module):
     ):
         assert 0 <= edge_dropout_rate < 1
         self.message_passing_layers = message_passing_layers
+        # Weight sharing by object identity: the reference's shared GGNN
+        # configs reuse one layer object at several positions
+        # (e.g. graph2seq/train.py:54-66); those positions must share one
+        # parameter subtree (gradients then sum across uses).
+        self._unique_layers = []
+        self._layer_param_index = []
+        seen = {}
+        for layer in message_passing_layers:
+            key = id(layer)
+            if key not in seen:
+                seen[key] = len(self._unique_layers)
+                self._unique_layers.append(layer)
+            self._layer_param_index.append(seen[key])
         self.node_embedder = node_embedder
         self.edge_dropout_rate = edge_dropout_rate
         self.edge_feature_embedder = edge_feature_embedder
@@ -61,11 +74,11 @@ class GraphNeuralNetwork(Module):
         return self.message_passing_layers[-1].output_state_dimension
 
     def init(self, key: jax.Array) -> Params:
-        keys = jax.random.split(key, len(self.message_passing_layers) + 2)
+        keys = jax.random.split(key, len(self._unique_layers) + 2)
         params: Params = {
             "node_embedder": self.node_embedder.init(keys[0]),
             "mp_layers": [
-                layer.init(k) for layer, k in zip(self.message_passing_layers, keys[2:])
+                layer.init(k) for layer, k in zip(self._unique_layers, keys[2:])
             ],
         }
         if self.edge_feature_embedder is not None:
@@ -93,7 +106,7 @@ class GraphNeuralNetwork(Module):
         all_states = [node_representations]
         stash: Dict[int, jax.Array] = {}
         for i, layer in enumerate(self.message_passing_layers):
-            layer_params = params["mp_layers"][i]
+            layer_params = params["mp_layers"][self._layer_param_index[i]]
             layer_rng = fold(rng, i)
             if isinstance(layer, _ResidualOriginLayer):
                 stash[id(layer.target_layer)] = node_representations
