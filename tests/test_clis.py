@@ -1,0 +1,59 @@
+"""CLI integration: drive the typilus train CLI end to end through real
+argv + jsonl.gz files on disk, and smoke --help for every entry point."""
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+import pytest
+
+from ptgnn_tpu.utils.io import write_jsonl_gz
+from ptgnn_tpu.utils.synthetic import synthetic_typilus_graphs
+
+CLIS = [
+    "ptgnn_tpu.implementations.typilus.train",
+    "ptgnn_tpu.implementations.typilus.traindistributed",
+    "ptgnn_tpu.implementations.typilus.predict",
+    "ptgnn_tpu.implementations.ppi.train",
+    "ptgnn_tpu.implementations.varmisuse.train",
+    "ptgnn_tpu.implementations.graph2seq.train",
+    "ptgnn_tpu.implementations.graph2seq.test",
+    "ptgnn_tpu.implementations.graph2seq.trainandtest",
+]
+
+
+@pytest.mark.parametrize("cli", CLIS)
+def test_cli_help(cli):
+    proc = subprocess.run(
+        [sys.executable, "-m", cli, "--help"],
+        capture_output=True, text=True, timeout=120,
+        cwd=str(Path(__file__).parent.parent),
+    )
+    assert proc.returncode == 0, proc.stderr[-500:]
+    assert "usage" in proc.stdout.lower()
+
+
+def test_typilus_train_cli_end_to_end():
+    tmp = Path(tempfile.mkdtemp())
+    for fold, n, seed in (("train", 16, 1), ("valid", 6, 2), ("test", 6, 3)):
+        d = tmp / fold
+        d.mkdir()
+        write_jsonl_gz(
+            d / "data.jsonl.gz",
+            synthetic_typilus_graphs(n, seed=seed, mean_nodes=30, max_nodes=80),
+        )
+    model_path = tmp / "model.pkl.gz"
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "ptgnn_tpu.implementations.typilus.train",
+            str(tmp / "train"), str(tmp / "valid"), str(tmp / "test"),
+            str(model_path),
+            "--max-num-epochs", "1", "--minibatch-size", "8",
+            "--max-nodes", "512", "--sequential-run", "--quiet",
+        ],
+        capture_output=True, text=True, timeout=600,
+        cwd=str(Path(__file__).parent.parent),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert model_path.exists()
+    assert "Test accuracy:" in proc.stdout
