@@ -33,7 +33,7 @@ def main() -> None:
     parser.add_argument("--num-batches", type=int, default=4)
     parser.add_argument("--steps", type=int, default=30)
     parser.add_argument("--no-amp", action="store_true")
-    parser.add_argument("--edge-slots-per-node", type=int, default=7)
+    parser.add_argument("--edge-slots-per-node", type=int, default=6)
     args = parser.parse_args()
 
     import jax
