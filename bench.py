@@ -34,6 +34,7 @@ def main() -> None:
     parser.add_argument("--steps", type=int, default=30)
     parser.add_argument("--no-amp", action="store_true")
     parser.add_argument("--edge-slots-per-node", type=int, default=6)
+    parser.add_argument("--edge-tile", type=int, default=128)
     args = parser.parse_args()
 
     import jax
@@ -50,7 +51,7 @@ def main() -> None:
         max_nodes=max_nodes,
         max_edge_slots=max_nodes * args.edge_slots_per_node,
         max_graphs=max(16, max_nodes // 1024),
-        edge_tile=128,
+        edge_tile=args.edge_tile,
         reference_budgets=(
             ("supernodes", max(512, max_nodes // 16)),
             ("token-sequence", max_nodes),

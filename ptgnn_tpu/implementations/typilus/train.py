@@ -38,7 +38,11 @@ from ptgnn_tpu.utils.io import load_from_folder
 def default_padding(max_nodes: int = 131072, max_graphs: int = 256) -> BatchPadding:
     """Static batch budgets sized for the reference's typilus config
     (stop at 120k nodes/batch, typilus/train.py:112-116): ~5.4 fwd edges/node
-    in the published dataset, x2 for backwards edges, tile slack."""
+    in the published dataset, x2 for backwards edges, tile slack.
+
+    NOTE: throughput is strongly occupancy-sensitive — irregular-op cost
+    scales with padded slots, not real edges (BASELINE.md). Size
+    max_edge_slots as tightly as your data's edge density allows."""
     return BatchPadding(
         max_nodes=max_nodes,
         max_edge_slots=max_nodes * 14,
