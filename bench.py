@@ -33,8 +33,9 @@ def main() -> None:
     parser.add_argument("--num-batches", type=int, default=4)
     parser.add_argument("--steps", type=int, default=30)
     parser.add_argument("--no-amp", action="store_true")
-    parser.add_argument("--edge-slots-per-node", type=int, default=6)
+    parser.add_argument("--edge-slots-per-node", type=float, default=6)
     parser.add_argument("--edge-tile", type=int, default=128)
+    parser.add_argument("--agg-rows", type=int, default=256)
     args = parser.parse_args()
 
     import jax
@@ -49,9 +50,10 @@ def main() -> None:
     max_nodes = args.max_nodes
     padding = BatchPadding(
         max_nodes=max_nodes,
-        max_edge_slots=max_nodes * args.edge_slots_per_node,
+        max_edge_slots=int(max_nodes * args.edge_slots_per_node) // args.edge_tile * args.edge_tile,
         max_graphs=max(16, max_nodes // 1024),
         edge_tile=args.edge_tile,
+        agg_rows=args.agg_rows,
         reference_budgets=(
             ("supernodes", max(512, max_nodes // 16)),
             ("token-sequence", max_nodes),
