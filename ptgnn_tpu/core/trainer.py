@@ -230,7 +230,8 @@ class ModelTrainer:
     # Epoch loops
     # ------------------------------------------------------------------
     def _run_training(
-        self, training_tensors, epoch, optimizer, opt_state, scheduler, parallelize, shuffle_input=True
+        self, training_tensors, epoch, optimizer, opt_state, scheduler, parallelize,
+        shuffle_input=True, show_progress_bar=False,
     ):
         sum_epoch_loss, num_minibatches, num_samples = 0.0, 0, 0
         metrics_acc = MetricsAccumulator()
@@ -238,6 +239,15 @@ class ModelTrainer:
         rng = jax.random.PRNGKey(self._seed * 1_000_003 + epoch)
         params = self._params
         pending_loss = None
+        progress = None
+        ema_loss = None
+        if show_progress_bar:
+            try:
+                from tqdm import tqdm
+
+                progress = tqdm(desc=f"epoch {epoch + 1}", unit="mb", leave=False)
+            except ImportError:  # pragma: no cover
+                progress = None
         for step_idx, (mb_data, raw_samples) in enumerate(
             self._model.minibatch_iterator(
                 training_tensors(),
@@ -259,10 +269,18 @@ class ModelTrainer:
             if pending_loss is not None and not np.isfinite(pending_loss):
                 raise Exception("Loss has a NaN value.")
             pending_loss = loss
-            sum_epoch_loss += float(loss)
+            loss_f = float(loss)
+            sum_epoch_loss += loss_f
             num_minibatches += 1
             num_samples += len(raw_samples)
             metrics_acc.update(metrics)
+            if progress is not None:
+                # EMA display matching the reference (trainer.py:206,244-254)
+                ema_loss = loss_f if ema_loss is None else 0.97 * ema_loss + 0.03 * loss_f
+                progress.update(1)
+                progress.set_postfix(loss=f"{ema_loss:.3f}")
+        if progress is not None:
+            progress.close()
         if pending_loss is not None and not np.isfinite(float(pending_loss)):
             raise Exception("Loss has a NaN value.")
         self._params = params
@@ -399,7 +417,7 @@ class ModelTrainer:
         for epoch in range(start_epoch_idx, self._max_num_epochs):
             opt_state = self._run_training(
                 training_tensors, epoch, optimizer, opt_state, scheduler,
-                parallelize, shuffle_training_data,
+                parallelize, shuffle_training_data, show_progress_bar,
             )
             ckpt.save_optimizer_state(
                 self._checkpoint_location.with_suffix(".optimizerstate"), opt_state, epoch + 1

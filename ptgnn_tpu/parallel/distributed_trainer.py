@@ -98,7 +98,7 @@ class DistributedModelTrainer(ModelTrainer):
     # ------------------------------------------------------------------
     def _run_training(
         self, training_tensors, epoch, optimizer, opt_state, scheduler, parallelize,
-        shuffle_input=True,
+        shuffle_input=True, show_progress_bar=False,
     ):
         sum_epoch_loss, num_minibatches, num_samples = 0.0, 0, 0
         metrics_acc = MetricsAccumulator()
