@@ -24,7 +24,6 @@ import os
 import pickle
 from abc import ABC, abstractmethod
 from concurrent import futures
-from itertools import islice
 from pathlib import Path
 from typing import (
     Any,

@@ -29,7 +29,7 @@ be swapped for the C++ batch assembler without touching callers.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Sequence, Tuple
 
 import numpy as np
 

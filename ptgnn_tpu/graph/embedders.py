@@ -20,7 +20,7 @@ from ptgnn_tpu.core.model import AbstractNeuralModel
 from ptgnn_tpu.graph.structs import AbstractNodeEmbedder
 from ptgnn_tpu.nn import initializers as init
 from ptgnn_tpu.nn.layers import Conv1d, Embedding, Linear, dropout, get_activation
-from ptgnn_tpu.nn.module import Module, Params, fold
+from ptgnn_tpu.nn.module import Module, Params
 from ptgnn_tpu.utils.text import BpeVocabulary, CharTensorizer, Vocabulary, split_identifier_into_parts
 
 LOGGER = logging.getLogger(__name__)

@@ -10,13 +10,10 @@ pairing key is the residual layer object itself, created via the same
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
-from ptgnn_tpu.graph.messagepassing.base import AbstractMessagePassingLayer, GraphContext
-from ptgnn_tpu.nn import initializers as init
+from ptgnn_tpu.graph.messagepassing.base import AbstractMessagePassingLayer
 from ptgnn_tpu.nn.layers import Linear, dropout
 from ptgnn_tpu.nn.module import Params
 

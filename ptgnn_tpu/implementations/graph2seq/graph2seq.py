@@ -12,7 +12,6 @@ from typing import Any, Dict, List, NamedTuple, Optional, Tuple, TypedDict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ptgnn_tpu.core.data import enforce_not_None
 from ptgnn_tpu.core.model import AbstractNeuralModel

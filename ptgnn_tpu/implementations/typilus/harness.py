@@ -3,7 +3,7 @@ flagship model on synthetic Typilus-schema data and produce finalized,
 statically shaped minibatches."""
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 from ptgnn_tpu.graph.structs import BatchPadding
 from ptgnn_tpu.implementations.typilus.graph2class import Graph2Class

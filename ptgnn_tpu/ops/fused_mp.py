@@ -44,7 +44,6 @@ position-keyed iid dropout only in that an edge and its reverse share masks.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

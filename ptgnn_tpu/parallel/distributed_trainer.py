@@ -22,9 +22,8 @@ by design:
 from __future__ import annotations
 
 import logging
-import math
 import time
-from typing import Any, Dict, Iterable, List, Optional
+from typing import Any, Dict, List, Optional
 
 import jax
 import numpy as np

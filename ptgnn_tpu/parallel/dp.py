@@ -16,7 +16,7 @@ the mesh.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List
 
 import jax
 import jax.numpy as jnp

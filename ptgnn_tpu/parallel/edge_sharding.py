@@ -29,7 +29,6 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ptgnn_tpu.graph.structs import AdjacencyStruct
 from ptgnn_tpu.ops.segment import segment_count, segment_reduce, segment_sum

@@ -30,7 +30,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ptgnn_tpu.core.model import AbstractNeuralModel
-from ptgnn_tpu.nn import initializers as init
 from ptgnn_tpu.nn.layers import GRU, Embedding, Linear, dropout
 from ptgnn_tpu.nn.module import Module, Params, fold
 from ptgnn_tpu.ops.segment import segment_log_softmax, segment_logsumexp, segment_sum
