@@ -29,9 +29,9 @@ def log(msg: str) -> None:
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--max-nodes", type=int, default=32768)
-    parser.add_argument("--num-batches", type=int, default=4)
-    parser.add_argument("--steps", type=int, default=30)
+    parser.add_argument("--max-nodes", type=int, default=8192)
+    parser.add_argument("--num-batches", type=int, default=6)
+    parser.add_argument("--steps", type=int, default=100)
     parser.add_argument("--no-amp", action="store_true")
     parser.add_argument("--edge-slots-per-node", type=float, default=6)
     parser.add_argument("--edge-tile", type=int, default=128)
@@ -51,7 +51,7 @@ def main() -> None:
     padding = BatchPadding(
         max_nodes=max_nodes,
         max_edge_slots=int(max_nodes * args.edge_slots_per_node) // args.edge_tile * args.edge_tile,
-        max_graphs=max(16, max_nodes // 1024),
+        max_graphs=max(8, max_nodes // 1024),
         edge_tile=args.edge_tile,
         agg_rows=args.agg_rows,
         reference_budgets=(
