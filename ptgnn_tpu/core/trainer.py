@@ -258,12 +258,22 @@ class ModelTrainer:
             )
         ):
             lr_factor = 1.0 if scheduler is None else scheduler.step(epoch, step_idx)
-            from ptgnn_tpu.utils.oom import catch_device_oom
+            from ptgnn_tpu.utils.oom import is_oom_error
 
-            with catch_device_oom(self._catch_device_ooms):
+            try:
                 params, opt_state, loss, metrics = self._train_step_fn(
                     params, opt_state, mb_data, jax.random.fold_in(rng, step_idx), lr_factor
                 )
+            except RuntimeError as error:
+                if not (self._catch_device_ooms and is_oom_error(error)):
+                    raise
+                # Genuinely skip the minibatch: no loss/metrics accounting
+                # happens for it (reference keeps all accounting inside the
+                # catch block, trainer.py:220-254).
+                self.LOGGER.exception(
+                    "A device OOM error was caught; skipping minibatch."
+                )
+                continue
             # NaN guard (reference: trainer.py:226); checked one step late to
             # avoid a device sync in the hot loop.
             if pending_loss is not None and not np.isfinite(pending_loss):

@@ -21,31 +21,57 @@ LOGGER = logging.getLogger(__name__)
 _LIB_DIR = Path(__file__).parent
 _LIB_PATH = _LIB_DIR / "libbatch_assembler.so"
 
+_SRC_PATH = _LIB_DIR / "batch_assembler.cc"
+_HASH_PATH = _LIB_DIR / "libbatch_assembler.so.srchash"
+
 _lib: Optional[ctypes.CDLL] = None
 _load_attempted = False
+
+
+def _source_hash() -> str:
+    import hashlib
+
+    return hashlib.sha256(_SRC_PATH.read_bytes()).hexdigest()
+
+
+def _lib_is_fresh() -> bool:
+    """Content-hash check: make's mtime freshness is defeated by git
+    checkouts, so the build stamps the source hash next to the library."""
+    try:
+        return (
+            _LIB_PATH.exists()
+            and _HASH_PATH.exists()
+            and _HASH_PATH.read_text().strip() == _source_hash()
+        )
+    except OSError:
+        return False
 
 
 def _try_build() -> bool:
     try:
         subprocess.run(
-            ["make", "-C", str(_LIB_DIR)], check=True, capture_output=True, timeout=120
+            ["make", "-B", "-C", str(_LIB_DIR)], check=True, capture_output=True,
+            timeout=120,
         )
-        return _LIB_PATH.exists()
+        if _LIB_PATH.exists():
+            _HASH_PATH.write_text(_source_hash())
+            return True
+        return False
     except Exception as exc:  # noqa: BLE001 - any failure -> fallback
         LOGGER.info("Native assembler build failed (%s); using Python fallback.", exc)
         return False
 
 
 def get_assembler() -> Optional[ctypes.CDLL]:
-    """The loaded native library, building it on first use; None if
-    unavailable (callers fall back to Python)."""
+    """The loaded native library, (re)built on first use whenever the source
+    changed; None if unavailable (callers fall back to Python)."""
     global _lib, _load_attempted
     if _lib is not None or _load_attempted:
         return _lib
     _load_attempted = True
     if os.environ.get("PTGNN_TPU_DISABLE_NATIVE"):
         return None
-    if not _LIB_PATH.exists() and not _try_build():
+    if not _lib_is_fresh() and not _try_build():
         return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))

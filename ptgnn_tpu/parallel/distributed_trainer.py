@@ -80,19 +80,24 @@ class DistributedModelTrainer(ModelTrainer):
         return self._empty_minibatch_template
 
     def _group_minibatches(self, minibatch_iterator):
-        """Yield (stacked group of num_devices minibatches, raw sample lists)."""
+        """Yield (stacked group of num_devices minibatches, raw sample lists,
+        per-device real-sample weights). Padding batches get weight 0 so the
+        weighted psum in parallel/dp.py ignores them."""
         group: List[Dict[str, Any]] = []
         raw: List[Any] = []
+        counts: List[float] = []
         for mb_data, raw_samples in minibatch_iterator:
             group.append(mb_data)
             raw.extend(raw_samples)
+            counts.append(float(len(raw_samples)))
             if len(group) == self.num_devices:
-                yield stack_minibatches(group), raw
-                group, raw = [], []
+                yield stack_minibatches(group), raw, np.asarray(counts, np.float32)
+                group, raw, counts = [], [], []
         if group:
             while len(group) < self.num_devices:
                 group.append(self._empty_minibatch())
-            yield stack_minibatches(group), raw
+                counts.append(0.0)
+            yield stack_minibatches(group), raw, np.asarray(counts, np.float32)
 
     # ------------------------------------------------------------------
     def _run_training(
@@ -104,7 +109,7 @@ class DistributedModelTrainer(ModelTrainer):
         start_time = time.time()
         rng = jax.random.PRNGKey(self._seed * 1_000_003 + epoch)
         params = self.params
-        for step_idx, (stacked_mb, raw_samples) in enumerate(
+        for step_idx, (stacked_mb, raw_samples, weights) in enumerate(
             self._group_minibatches(
                 self.model.minibatch_iterator(
                     training_tensors(),
@@ -118,7 +123,8 @@ class DistributedModelTrainer(ModelTrainer):
             lr_factor = 1.0 if scheduler is None else scheduler.step(epoch, step_idx)
             stacked_mb = self._dp.device_put_batch(stacked_mb)
             params, opt_state, loss, metrics = self._train_step_fn(
-                params, opt_state, stacked_mb, jax.random.fold_in(rng, step_idx), lr_factor
+                params, opt_state, stacked_mb, jax.random.fold_in(rng, step_idx),
+                lr_factor, weights,
             )
             sum_epoch_loss += float(loss)
             num_minibatches += 1
@@ -136,6 +142,16 @@ class DistributedModelTrainer(ModelTrainer):
         )
         self.LOGGER.info("Epoch %i: Train Loss %.2f", epoch + 1, sum_epoch_loss / num_minibatches)
         train_metrics = self.neural_module.finalize_metrics(metrics_acc.totals())
+        # Throughput reporting, matching the single-device trainer
+        # (core/trainer.py) so the multi-chip path shows its own edges/s.
+        train_metrics["_throughput"] = {
+            "samples_per_sec": num_samples / elapsed,
+            **{
+                f"{k}_per_sec": metrics_acc.totals()[k] / elapsed
+                for k in ("num_graphs", "num_nodes", "num_edges")
+                if k in metrics_acc.totals()
+            },
+        }
         for hook in self._train_epoch_end_hooks:
             hook(self.model, self.neural_module, epoch, train_metrics)
         return opt_state
@@ -143,7 +159,7 @@ class DistributedModelTrainer(ModelTrainer):
     def _run_validation(self, validation_tensors, epoch, best_target_metric, parallelize):
         sum_epoch_loss, num_minibatches, num_samples = 0.0, 0, 0
         metrics_acc = MetricsAccumulator()
-        for stacked_mb, raw_samples in self._group_minibatches(
+        for stacked_mb, raw_samples, weights in self._group_minibatches(
             self.model.minibatch_iterator(
                 validation_tensors(),
                 max_minibatch_size=self._minibatch_size,
@@ -153,7 +169,7 @@ class DistributedModelTrainer(ModelTrainer):
             )
         ):
             stacked_mb = self._dp.device_put_batch(stacked_mb)
-            loss, metrics = self._eval_step_fn(self.params, stacked_mb)
+            loss, metrics = self._eval_step_fn(self.params, stacked_mb, weights)
             sum_epoch_loss += float(loss)
             num_minibatches += 1
             num_samples += len(raw_samples)

@@ -140,35 +140,47 @@ class DataParallel:
 
     def build_train_step(self) -> Callable:
         """Returns jit(train_step)(params, opt_state, stacked_mb, rng,
-        lr_factor) -> (params, opt_state, mean loss, summed metrics).
+        lr_factor, weights=None) -> (params, opt_state, mean loss, summed
+        metrics).
 
         stacked_mb has a leading [num_devices] axis sharded over the mesh.
+        ``weights`` is an optional [num_devices] f32 array of per-device real
+        sample counts: loss and gradients are averaged as
+        psum(w * x) / psum(w), so fully masked padding batches (w=0) do not
+        dilute the step (the reference's DDP.join analogue). None means
+        uniform weights, i.e. a plain pmean.
         """
         axis = self.axis
 
-        def per_device_grads(params, mb, rng):
+        def per_device_grads(params, mb, rng, w):
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
             (loss, metrics), grads = jax.value_and_grad(
                 self._loss_fn, has_aux=True
             )(params, mb, rng, True)
             grads = _cast_floats(grads, jnp.float32)
-            # Gradient all-reduce (the DDP equivalent) over ICI.
-            grads = jax.lax.pmean(grads, axis)
-            loss = jax.lax.pmean(loss, axis)
+            # Weighted gradient all-reduce (the DDP equivalent) over ICI.
+            w = w.reshape(())
+            wsum = jnp.maximum(jax.lax.psum(w, axis), 1e-9)
+            grads = jax.tree_util.tree_map(
+                lambda g: jax.lax.psum(g * w, axis) / wsum, grads
+            )
+            loss = jax.lax.psum(loss * w, axis) / wsum
             metrics = jax.tree_util.tree_map(lambda m: jax.lax.psum(m, axis), metrics)
             return grads, loss, metrics
 
         grads_fn = _shard_map(
-            lambda params, smb, rng: per_device_grads(
-                params, jax.tree_util.tree_map(lambda x: x[0], smb), rng
+            lambda params, smb, rng, w: per_device_grads(
+                params, jax.tree_util.tree_map(lambda x: x[0], smb), rng, w
             ),
             mesh=self.mesh,
-            in_specs=(P(), P(axis), P()),
+            in_specs=(P(), P(axis), P(), P(axis)),
             out_specs=(P(), P(), P()),
         )
 
-        def train_step(params, opt_state, stacked_mb, rng, lr_factor):
-            grads, loss, metrics = grads_fn(params, stacked_mb, rng)
+        def train_step(params, opt_state, stacked_mb, rng, lr_factor, weights=None):
+            if weights is None:
+                weights = jnp.ones((self.num_devices,), jnp.float32)
+            grads, loss, metrics = grads_fn(params, stacked_mb, rng, weights)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             updates = jax.tree_util.tree_map(lambda u: u * lr_factor, updates)
             params = optax.apply_updates(params, updates)
@@ -188,18 +200,26 @@ class DataParallel:
     def build_eval_step(self) -> Callable:
         axis = self.axis
 
-        def per_device_eval(params, mb):
+        def per_device_eval(params, mb, w):
             loss, metrics = self._loss_fn(params, mb, None, False)
-            loss = jax.lax.pmean(loss, axis)
+            w = w.reshape(())
+            wsum = jnp.maximum(jax.lax.psum(w, axis), 1e-9)
+            loss = jax.lax.psum(loss * w, axis) / wsum
             metrics = jax.tree_util.tree_map(lambda m: jax.lax.psum(m, axis), metrics)
             return loss, metrics
 
         eval_fn = _shard_map(
-            lambda params, smb: per_device_eval(
-                params, jax.tree_util.tree_map(lambda x: x[0], smb)
+            lambda params, smb, w: per_device_eval(
+                params, jax.tree_util.tree_map(lambda x: x[0], smb), w
             ),
             mesh=self.mesh,
-            in_specs=(P(), P(axis)),
+            in_specs=(P(), P(axis), P(axis)),
             out_specs=(P(), P()),
         )
-        return jax.jit(eval_fn)
+
+        def eval_step(params, stacked_mb, weights=None):
+            if weights is None:
+                weights = jnp.ones((self.num_devices,), jnp.float32)
+            return eval_fn(params, stacked_mb, weights)
+
+        return jax.jit(eval_step)

@@ -72,6 +72,8 @@ def shard_adjacency(adj: AdjacencyStruct, num_shards: int):
         tile_row_blocks=split_tiles(adj.tile_row_blocks),
         # counts are global (per node); replicate per shard for mean/extrema.
         agg_counts=adj.agg_counts,
+        # edge-indexed like senders; feature payloads stay replicated.
+        edge_feature_slot=split_edges(adj.edge_feature_slot),
     )
 
 

@@ -98,3 +98,47 @@ def test_zero1_shards_optimizer_state(setup):
     # Params remain replicated for the next step.
     for leaf in jax.tree_util.tree_leaves(new_params):
         assert leaf.sharding.is_fully_replicated
+
+
+def test_weighted_step_ignores_padding_batches(setup):
+    """Per-device weights (real-sample counts) must exclude padded empty
+    batches from the loss/gradient average (no dilution — the DDP.join
+    semantics, reference distributedtrainer.py:55)."""
+    mesh, module, params, minibatches = setup
+    opt = optax.sgd(0.1)
+    n_real = N_DEV - 2  # last two devices get "padding" batches (weight 0)
+    weights = np.asarray([4.0] * n_real + [0.0, 0.0], np.float32)
+
+    def loss_fn(params, mb, rng):
+        loss, _ = module.apply(params, **mb, train=True, rng=rng)
+        return loss.astype(jnp.float32)
+
+    grads_acc = None
+    losses = []
+    for i, mb in enumerate(minibatches[:n_real]):
+        rng = jax.random.fold_in(jax.random.PRNGKey(0), i)
+        loss, grads = jax.value_and_grad(loss_fn)(params, mb, rng)
+        losses.append(float(loss))
+        grads_acc = (
+            grads if grads_acc is None
+            else jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+        )
+    mean_grads = jax.tree_util.tree_map(lambda g: g / n_real, grads_acc)
+    expected_params = optax.apply_updates(
+        params, opt.update(mean_grads, opt.init(params), params)[0]
+    )
+
+    dp = DataParallel(module, opt, mesh)
+    p_rep = dp.device_put_params(jax.tree_util.tree_map(jnp.copy, params))
+    opt_state = dp.init_opt_state(p_rep)
+    stacked = dp.device_put_batch(stack_minibatches(minibatches))
+    train_step = dp.build_train_step()
+    new_params, _, dp_loss, _ = train_step(
+        p_rep, opt_state, stacked, jax.random.PRNGKey(0), 1.0, jnp.asarray(weights)
+    )
+
+    np.testing.assert_allclose(float(dp_loss), np.mean(losses), rtol=1e-5)
+    for ours, ref in zip(
+        jax.tree_util.tree_leaves(new_params), jax.tree_util.tree_leaves(expected_params)
+    ):
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=5e-3, atol=5e-4)

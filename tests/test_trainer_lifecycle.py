@@ -182,3 +182,74 @@ def test_optimizer_state_resume(tmp_path):
     )
     acc = model2.compute_accuracy(data, trainer2.params, trainer2.neural_module)
     assert acc > 0.9
+
+
+class _OomInjectingTrainer(ModelTrainer):
+    """Raises a RESOURCE_EXHAUSTED RuntimeError on selected train steps."""
+
+    def __init__(self, *args, fail_steps=(0,), **kwargs):
+        super().__init__(*args, **kwargs)
+        self._fail_steps = set(fail_steps)
+        self.steps_attempted = 0
+        self.steps_failed = 0
+
+    def _build_step_functions(self, optimizer):
+        super()._build_step_functions(optimizer)
+        inner = self._train_step_fn
+
+        def failing_step(*args, **kwargs):
+            idx = self.steps_attempted
+            self.steps_attempted += 1
+            if idx in self._fail_steps:
+                self.steps_failed += 1
+                raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory while running")
+            return inner(*args, **kwargs)
+
+        self._train_step_fn = failing_step
+
+
+def test_oom_step_is_skipped(tmp_path):
+    """catch_device_ooms=True must genuinely skip the minibatch: no stale
+    loss/metrics accounting, no NameError on a first-step OOM (reference
+    keeps accounting inside the catch block, trainer.py:220-254)."""
+    data = synthetic_data(np.random.RandomState(5), 2000)
+    import optax
+
+    trainer = _OomInjectingTrainer(
+        SimpleRegressionModel(),
+        tmp_path / "m.pkl.gz",
+        max_num_epochs=3,
+        minibatch_size=64,
+        catch_device_ooms=True,
+        optimizer_creator=lambda: optax.adam(1e-2),
+        fail_steps=(0, 5),  # first-ever step (loss unbound) + a mid-epoch step
+    )
+    trainer.train(
+        LazyDataIterable(lambda: iter(data)),
+        LazyDataIterable(lambda: iter(data)),
+        parallelize=False,
+        validate_on_start=False,
+        patience=10,
+    )
+    assert trainer.steps_failed == 2
+    acc = trainer.model.compute_accuracy(data, trainer.params, trainer.neural_module)
+    assert acc > 0.9
+
+
+def test_oom_reraises_when_disabled(tmp_path):
+    data = synthetic_data(np.random.RandomState(5), 300)
+    trainer = _OomInjectingTrainer(
+        SimpleRegressionModel(),
+        tmp_path / "m.pkl.gz",
+        max_num_epochs=1,
+        minibatch_size=64,
+        catch_device_ooms=False,
+        fail_steps=(0,),
+    )
+    with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+        trainer.train(
+            LazyDataIterable(lambda: iter(data)),
+            LazyDataIterable(lambda: iter(data)),
+            parallelize=False,
+            validate_on_start=False,
+        )
