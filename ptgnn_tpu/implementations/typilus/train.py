@@ -60,6 +60,7 @@ def create_graph2class_gnn_model(
     dropout_rate: float = 0.1,
     padding: Optional[BatchPadding] = None,
     architecture: str = "mlp",
+    min_freq_threshold: int = 5,
 ) -> Graph2Class:
     """The reference's model factory (typilus/train.py:38-120): 'mlp' is the
     benchmark config; 'ggnn' is the shared-weight GGNN alternative."""
@@ -131,7 +132,7 @@ def create_graph2class_gnn_model(
                 token_splitting="subtoken",
                 subtoken_combination="mean",
                 vocabulary_size=10000,
-                min_freq_threshold=5,
+                min_freq_threshold=min_freq_threshold,
                 dropout_rate=dropout_rate,
             ),
             message_passing_layer_creator=creators[architecture],

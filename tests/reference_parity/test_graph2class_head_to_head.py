@@ -1,0 +1,154 @@
+"""Task-level head-to-head: train the ACTUAL reference Graph2Class/Typilus
+model (torch, through the shims) and ours on IDENTICAL synthetic
+Typilus-schema graphs; require accuracy in the same band. This is
+BASELINE.json's "Graph2Class accuracy parity with reference" row, measured
+against the reference's own model (ptgnn/implementations/typilus/
+graph2class.py) and its UNK-counts-as-wrong accuracy.
+"""
+import tempfile
+from pathlib import Path
+
+import pytest
+import torch
+
+from tests.reference_parity.shims import install_reference_shims
+
+install_reference_shims()
+
+from ptgnn.baseneuralmodel import ModelTrainer as RefTrainer  # noqa: E402
+from ptgnn.baseneuralmodel.utils.data import LazyDataIterable as RefLazyIterable  # noqa: E402
+from ptgnn.implementations.typilus.graph2class import Graph2Class as RefGraph2Class  # noqa: E402
+from ptgnn.neuralmodels.embeddings.strelementrepresentationmodel import (  # noqa: E402
+    StrElementRepresentationModel as RefStrModel,
+)
+from ptgnn.neuralmodels.gnn.graphneuralnetwork import (  # noqa: E402
+    GraphNeuralNetworkModel as RefGnnModel,
+)
+from ptgnn.neuralmodels.gnn.messagepassing.mlpmessagepassing import (  # noqa: E402
+    MlpMessagePassingLayer as RefMlpMp,
+)
+from ptgnn.neuralmodels.gnn.messagepassing.residuallayers import (  # noqa: E402
+    ConcatResidualLayer as RefConcatRes,
+)
+
+import optax  # noqa: E402
+
+from ptgnn_tpu.core.data import LazyDataIterable
+from ptgnn_tpu.core.trainer import ModelTrainer
+from ptgnn_tpu.implementations.typilus.harness import small_padding
+from ptgnn_tpu.implementations.typilus.train import create_graph2class_gnn_model
+from ptgnn_tpu.utils.synthetic import synthetic_typilus_graphs
+
+HIDDEN = 32
+EPOCHS = 12
+
+
+_TYPES = ["int", "str", "bool", "float", "List[int]", "Dict[str, int]"]
+
+
+def _relabel(graphs):
+    """Make annotations a deterministic function of the supernode's name, so
+    accuracy is learnable (name -> type) and the head-to-head compares model
+    capacity instead of class-prior guessing on random labels."""
+    out = []
+    for g in graphs:
+        for sn in g["supernodes"].values():
+            sn["annotation"] = _TYPES[sum(map(ord, sn["name"])) % len(_TYPES)]
+        out.append(g)
+    return out
+
+
+def make_data():
+    train = _relabel(list(synthetic_typilus_graphs(32, seed=0, mean_nodes=50, max_nodes=120)))
+    valid = _relabel(list(synthetic_typilus_graphs(16, seed=1, mean_nodes=50, max_nodes=120)))
+    return train, valid
+
+
+def _ref_mlp(num_edges, input_dim, message_dim):
+    return RefMlpMp(
+        input_state_dimension=input_dim, message_dimension=message_dim,
+        output_state_dimension=HIDDEN, num_edge_types=num_edges,
+        message_aggregation_function="max", dropout_rate=0.1,
+    )
+
+
+def create_mlp_mp_layers(num_edges: int):
+    """Exact clone of the reference benchmark factory shape
+    (typilus/train.py:67-99) at a smaller hidden size."""
+    mk = lambda: _ref_mlp(num_edges, HIDDEN, HIDDEN)
+    mk_after = lambda: _ref_mlp(num_edges, 2 * HIDDEN, 2 * HIDDEN)
+    r1, r2 = RefConcatRes(HIDDEN), RefConcatRes(HIDDEN)
+    return [
+        r1.pass_through_dummy_layer(), mk(), mk(), mk(), r1, mk_after(),
+        r2.pass_through_dummy_layer(), mk(), mk(), mk(), r2, mk_after(),
+    ]
+
+
+def train_reference(train, valid) -> float:
+    torch.manual_seed(0)
+    model = RefGraph2Class(
+        gnn_model=RefGnnModel(
+            node_representation_model=RefStrModel(
+                embedding_size=HIDDEN, token_splitting="subtoken",
+                subtoken_combination="mean", vocabulary_size=10000,
+                min_freq_threshold=2, dropout_rate=0.1,
+            ),
+            message_passing_layer_creator=create_mlp_mp_layers,
+            max_nodes_per_graph=100000,
+            max_graph_edges=500000,
+            introduce_backwards_edges=True,
+            add_self_edges=True,
+            stop_extending_minibatch_after_num_nodes=120000,
+            edge_dropout_rate=0.0,
+        ),
+        max_num_classes=100,
+    )
+    with tempfile.TemporaryDirectory() as td:
+        trainer = RefTrainer(
+            model, Path(td) / "ref.pkl.gz", max_num_epochs=EPOCHS, minibatch_size=8,
+            optimizer_creator=lambda p: torch.optim.Adam(p, lr=2e-3),
+        )
+        trainer.train(
+            RefLazyIterable(lambda: iter(train)),
+            RefLazyIterable(lambda: iter(valid)),
+            show_progress_bar=False,
+            parallelize=False,
+            validate_on_start=False,
+            patience=EPOCHS,
+            device="cpu",
+        )
+        acc = model.report_accuracy(iter(valid), trainer.neural_module, "cpu")
+    return float(acc)
+
+
+def train_ours(train, valid) -> float:
+    model = create_graph2class_gnn_model(
+        hidden_state_size=HIDDEN, padding=small_padding(max_nodes=512, max_graphs=8),
+        min_freq_threshold=2,
+    )
+    with tempfile.TemporaryDirectory() as td:
+        trainer = ModelTrainer(
+            model, Path(td) / "ours.pkl.gz", max_num_epochs=EPOCHS, minibatch_size=8,
+            optimizer_creator=lambda: optax.adam(2e-3),
+        )
+        trainer.train(
+            LazyDataIterable(lambda: iter(train)),
+            LazyDataIterable(lambda: iter(valid)),
+            parallelize=False,
+            validate_on_start=False,
+            patience=EPOCHS,
+        )
+        acc = model.report_accuracy(iter(valid), trainer.params, trainer.neural_module)
+    return float(acc)
+
+
+@pytest.mark.slow
+def test_graph2class_accuracy_parity_with_reference():
+    train, valid = make_data()
+    ref_acc = train_reference(train, valid)
+    our_acc = train_ours(train, valid)
+    # Synthetic annotations are drawn from a Zipf head: predicting frequent
+    # classes is learnable; both implementations must reach the same band.
+    assert ref_acc > 0.18, f"reference failed to learn (acc={ref_acc})"
+    assert our_acc > 0.18, f"ours failed to learn (acc={our_acc})"
+    assert our_acc >= ref_acc - 0.07, f"ours {our_acc} vs reference {ref_acc}"

@@ -1,0 +1,173 @@
+"""Task-level head-to-head: train the ACTUAL reference PPI model (torch,
+through the shims) and our TPU-native PPI model on IDENTICAL synthetic data,
+and require micro-F1 in the same band. This is BASELINE.json's "PPI micro-F1
+parity with the PyTorch reference" row, measured against the reference's own
+training loop (ptgnn/baseneuralmodel/trainer.py) and model
+(ptgnn/implementations/ppi/ppi.py).
+"""
+import tempfile
+from pathlib import Path
+
+import numpy as np
+import pytest
+import torch
+
+from tests.reference_parity.shims import install_reference_shims
+
+install_reference_shims()
+
+from ptgnn.baseneuralmodel import ModelTrainer as RefTrainer  # noqa: E402
+from ptgnn.baseneuralmodel.utils.data import LazyDataIterable as RefLazyIterable  # noqa: E402
+from ptgnn.implementations.ppi.ppi import (  # noqa: E402
+    PPIGraphSample as RefPPISample,
+    PPIMulticlassClassification as RefPPI,
+)
+from ptgnn.neuralmodels.embeddings.linearmapembedding import (  # noqa: E402
+    FeatureRepresentationModel as RefFeatModel,
+)
+from ptgnn.neuralmodels.gnn.graphneuralnetwork import (  # noqa: E402
+    GraphNeuralNetworkModel as RefGnnModel,
+)
+from ptgnn.neuralmodels.gnn.messagepassing.mlpmessagepassing import (  # noqa: E402
+    MlpMessagePassingLayer as RefMlpMp,
+)
+
+import optax  # noqa: E402
+
+from ptgnn_tpu.core.data import LazyDataIterable
+from ptgnn_tpu.core.trainer import ModelTrainer
+from ptgnn_tpu.graph.structs import BatchPadding
+from ptgnn_tpu.implementations.ppi.dataloader import PPIGraphSample
+from ptgnn_tpu.implementations.ppi.train import create_ppi_gnn_model
+from ptgnn_tpu.utils.synthetic import synthetic_ppi_graphs
+
+HIDDEN = 32
+EPOCHS = 8
+LABELS = 8
+
+
+def make_data():
+    train = list(
+        synthetic_ppi_graphs(16, seed=0, mean_nodes=80, num_labels=LABELS, edges_per_node=4)
+    )
+    valid = list(
+        synthetic_ppi_graphs(5, seed=1, mean_nodes=80, num_labels=LABELS, edges_per_node=4)
+    )
+    return train, valid
+
+
+def to_ref(raw):
+    return [
+        RefPPISample(
+            adjacency_lists=[np.asarray(g["edges"], np.int32)],
+            node_features=np.asarray(g["features"], np.float32),
+            node_labels=g["labels"].astype(bool),
+        )
+        for g in raw
+    ]
+
+
+def to_ours(raw):
+    return [
+        PPIGraphSample(
+            adjacency_lists=[np.asarray(g["edges"], np.int32)],
+            node_features=g["features"],
+            node_labels=g["labels"].astype(bool),
+        )
+        for g in raw
+    ]
+
+
+def _ref_mk_layer(num_edges):
+    return RefMlpMp(
+        input_state_dimension=HIDDEN, message_dimension=HIDDEN,
+        output_state_dimension=HIDDEN, num_edge_types=num_edges,
+        message_aggregation_function="sum", dropout_rate=0.2,
+    )
+
+
+def create_mp_layers(num_edges: int):
+    # exact clone of the reference factory shape (ppi/train.py:35-72) at a
+    # smaller hidden size; module-level so the model checkpoint pickles
+    from ptgnn.neuralmodels.gnn.messagepassing.residuallayers import (
+        MeanResidualLayer as RefMeanRes,
+    )
+
+    r1, r2 = RefMeanRes(HIDDEN), RefMeanRes(HIDDEN)
+    mk = lambda: _ref_mk_layer(num_edges)
+    return [
+        r1.pass_through_dummy_layer(), mk(), mk(), mk(), r1,
+        r2.pass_through_dummy_layer(), mk(), mk(), r2,
+    ]
+
+
+def train_reference(train, valid) -> float:
+    torch.manual_seed(0)
+    model = RefPPI(
+        gnn_model=RefGnnModel(
+            node_representation_model=RefFeatModel(
+                embedding_size=HIDDEN, activation=torch.nn.Tanh()
+            ),
+            message_passing_layer_creator=create_mp_layers,
+            max_nodes_per_graph=6000,
+            max_graph_edges=300000,
+            introduce_backwards_edges=True,
+            add_self_edges=True,
+            stop_extending_minibatch_after_num_nodes=3000,
+        ),
+    )
+    with tempfile.TemporaryDirectory() as td:
+        trainer = RefTrainer(
+            model, Path(td) / "ref.pkl.gz", max_num_epochs=EPOCHS, minibatch_size=4,
+            optimizer_creator=lambda p: torch.optim.Adam(p, lr=3e-3),
+            clip_gradient_norm=1.0,
+            target_validation_metric="f1_score",
+            target_validation_metric_higher_is_better=True,
+        )
+        trainer.train(
+            RefLazyIterable(lambda: iter(to_ref(train))),
+            RefLazyIterable(lambda: iter(to_ref(valid))),
+            show_progress_bar=False,
+            parallelize=False,
+            validate_on_start=False,
+            patience=EPOCHS,
+            device="cpu",
+        )
+        metrics = model.report_metrics(to_ref(valid), trainer.neural_module, "cpu")
+    return float(metrics["f1_score"])
+
+
+def train_ours(train, valid) -> float:
+    pad = BatchPadding(
+        max_nodes=512, max_edge_slots=512 * 24, max_graphs=4, edge_tile=64
+    )
+    model = create_ppi_gnn_model(hidden_state_size=HIDDEN, padding=pad)
+    with tempfile.TemporaryDirectory() as td:
+        trainer = ModelTrainer(
+            model, Path(td) / "ours.pkl.gz", max_num_epochs=EPOCHS, minibatch_size=4,
+            optimizer_creator=lambda: optax.adam(3e-3),
+            clip_gradient_norm=1.0,
+            target_validation_metric="f1_score",
+            target_validation_metric_higher_is_better=True,
+        )
+        trainer.train(
+            LazyDataIterable(lambda: iter(to_ours(train))),
+            LazyDataIterable(lambda: iter(to_ours(valid))),
+            parallelize=False,
+            validate_on_start=False,
+            patience=EPOCHS,
+        )
+        metrics = model.report_metrics(to_ours(valid), trainer.params, trainer.neural_module)
+    return float(metrics["f1_score"])
+
+
+@pytest.mark.slow
+def test_ppi_micro_f1_parity_with_reference():
+    train, valid = make_data()
+    ref_f1 = train_reference(train, valid)
+    our_f1 = train_ours(train, valid)
+    # Same data, same budget; different frameworks/inits — require the same
+    # quality band, not bitwise equality.
+    assert ref_f1 > 0.55, f"reference failed to learn (f1={ref_f1})"
+    assert our_f1 > 0.55, f"ours failed to learn (f1={our_f1})"
+    assert our_f1 >= ref_f1 - 0.05, f"ours {our_f1} vs reference {ref_f1}"
