@@ -395,10 +395,213 @@ class GruCopyingDecoderModel(
         params: Params,
         neural_module: GruCopyingDecoder,
         num_real_targets: Optional[int] = None,
+        device_resident: bool = True,
+        top_k: int = 100,
     ) -> List[Tuple[List[str], float]]:
-        """Greedy decoding: device computes per-step joint logprobs, host
-        merges copy probabilities by concrete string value (same semantics as
-        the reference; the merge is a string-keyed max so it stays on host)."""
+        """Greedy decoding with copy-by-string merging.
+
+        ``device_resident=True`` (default) runs the ENTIRE decode as one
+        compiled ``lax.scan`` — no device->host round-trip per step (the
+        reference synchronizes every step, grucopydecoder.py:407-455). The
+        string-keyed copy merge becomes a device op via host-precomputed
+        string-group ids; the merge is exact over the full vocabulary.
+
+        ``device_resident=False`` keeps the reference-shaped host loop
+        (top-``top_k`` vocab merge) as the behavioral oracle.
+        """
+        if device_resident:
+            return self._greedy_decode_device(
+                input_concrete_values=input_concrete_values,
+                input_memories=input_memories,
+                input_memories_origin_idx=input_memories_origin_idx,
+                memory_mask=memory_mask,
+                initial_states=initial_states,
+                params=params,
+                neural_module=neural_module,
+                num_real_targets=num_real_targets,
+            )
+        return self._greedy_decode_host(
+            input_concrete_values=input_concrete_values,
+            input_memories=input_memories,
+            input_memories_origin_idx=input_memories_origin_idx,
+            memory_mask=memory_mask,
+            initial_states=initial_states,
+            params=params,
+            neural_module=neural_module,
+            num_real_targets=num_real_targets,
+            top_k=top_k,
+        )
+
+    def _greedy_decode_device(
+        self,
+        *,
+        input_concrete_values: List[str],
+        input_memories,
+        input_memories_origin_idx,
+        memory_mask,
+        initial_states,
+        params: Params,
+        neural_module: GruCopyingDecoder,
+        num_real_targets: Optional[int] = None,
+    ) -> List[Tuple[List[str], float]]:
+        """Device-resident decode: host precomputes per-memory string-group
+        ids (one group per distinct concrete string per sample), the device
+        loop merges group copy mass into vocab scores with segment ops and
+        picks the argmax action per step inside one ``lax.scan``."""
+        output_vocab = self.__output_vocabulary
+        b_pad = initial_states.shape[0]
+        batch_size = int(num_real_targets) if num_real_targets is not None else b_pad
+        vocab_size = neural_module.vocabulary_size
+        end_id = output_vocab.get_id_or_unk(self.END)
+        unk_id = neural_module.unk_id
+        s = self.max_seq_len
+
+        real_memory_slots = np.where(np.asarray(memory_mask))[0]
+        assert len(real_memory_slots) == len(input_concrete_values), (
+            len(real_memory_slots),
+            len(input_concrete_values),
+        )
+        origin_np = np.asarray(input_memories_origin_idx)
+        m_pad = origin_np.shape[0]
+
+        # --- host: string groups (sample, concrete string) -> group id ---
+        group_of: Dict[Tuple[int, str], int] = {}
+        group_strings: List[str] = []
+        group_sample_l: List[int] = []
+        group_vocab_l: List[int] = []
+        mem_group = np.full(m_pad, 0, np.int32)
+        mem_group_mask = np.zeros(m_pad, bool)
+        for slot, concrete in zip(real_memory_slots, input_concrete_values):
+            bi = int(origin_np[slot])
+            if bi >= batch_size:
+                continue
+            key = (bi, concrete)
+            if key not in group_of:
+                group_of[key] = len(group_strings)
+                group_strings.append(concrete)
+                group_sample_l.append(bi)
+                vid = output_vocab.get_id_or_unk(concrete)
+                # UNK id means out-of-vocab UNLESS the string is the UNK
+                # token itself; OOV groups stand alone as candidates.
+                is_oov = vid == unk_id and concrete != Vocabulary.get_unk()
+                group_vocab_l.append(-1 if is_oov else vid)
+            mem_group[slot] = group_of[key]
+            mem_group_mask[slot] = True
+        g_pad = max(1, len(group_strings))
+        group_sample = np.full(g_pad, b_pad, np.int32)
+        group_vocab = np.full(g_pad, -1, np.int32)
+        group_sample[: len(group_sample_l)] = group_sample_l
+        group_vocab[: len(group_vocab_l)] = group_vocab_l
+        group_valid = np.arange(g_pad) < len(group_strings)
+
+        def decode(params, init_states, memories, origin, mem_mask, mem_grp,
+                   mem_grp_mask, grp_sample, grp_vocab, grp_valid, start_tokens):
+            neg_inf = jnp.float32(-jnp.inf)
+            in_vocab = jnp.logical_and(grp_valid, grp_vocab >= 0)
+            # flat (sample, vocab) index per in-vocab group; OOR for others
+            flat_idx = jnp.where(
+                in_vocab, grp_sample * vocab_size + jnp.maximum(grp_vocab, 0),
+                b_pad * vocab_size,
+            )
+            oov_mask = jnp.logical_and(grp_valid, grp_vocab < 0)
+            # dense [B_pad, G_pad] sample-membership for the OOV candidates
+            sample_onehot = (
+                grp_sample[None, :] == jnp.arange(b_pad, dtype=jnp.int32)[:, None]
+            )
+
+            def step(carry, _):
+                states, next_tokens, done, logps = carry
+                copy_lp, target_lp, states = neural_module._compute_logprobs(
+                    params, states, memories, origin, mem_mask, next_tokens
+                )
+                copy_lp = copy_lp[:, 0]  # [M]
+                target_lp = target_lp[:, 0]  # [B_pad, V]
+                group_copy = segment_logsumexp(
+                    copy_lp, mem_grp, g_pad, mask=mem_grp_mask
+                )  # [G_pad] (-inf for empty groups)
+                # merge in-vocab groups' copy mass into the vocab scores
+                copy_into_vocab = segment_logsumexp(
+                    group_copy, flat_idx, b_pad * vocab_size, mask=in_vocab
+                ).reshape(b_pad, vocab_size)
+                merged_vocab = jnp.logaddexp(target_lp, copy_into_vocab)
+                # OOV string groups are standalone candidates per sample
+                oov_scores = jnp.where(
+                    jnp.logical_and(sample_onehot, oov_mask[None, :]),
+                    group_copy[None, :],
+                    neg_inf,
+                )  # [B_pad, G_pad]
+                cand = jnp.concatenate([merged_vocab, oov_scores], axis=1)
+                winner = jnp.argmax(cand, axis=1)  # [B_pad]
+                winner_score = jnp.take_along_axis(cand, winner[:, None], axis=1)[:, 0]
+                is_vocab_win = winner < vocab_size
+                feed = jnp.where(is_vocab_win, winner, unk_id).astype(jnp.int32)
+                chose_end = jnp.logical_and(is_vocab_win, winner == end_id)
+                emitted = jnp.where(done, -1, winner.astype(jnp.int32))
+                logps = logps + jnp.where(done, 0.0, winner_score)
+                done_next = jnp.logical_or(done, chose_end)
+                next_tokens = jnp.where(done_next, end_id, feed)[:, None]
+                return (states, next_tokens, done_next, logps), emitted
+
+            init = (
+                init_states,
+                start_tokens,
+                jnp.zeros((b_pad,), bool),
+                jnp.zeros((b_pad,), jnp.float32),
+            )
+            (_, _, _, logps), emitted = jax.lax.scan(step, init, None, length=s)
+            return emitted, logps  # [S, B_pad], [B_pad]
+
+        start_tokens = jnp.full(
+            (b_pad, 1), output_vocab.get_id_or_unk(self.START), jnp.int32
+        )
+        emitted, logps = jax.jit(decode)(
+            params,
+            initial_states,
+            input_memories,
+            jnp.asarray(input_memories_origin_idx),
+            jnp.asarray(memory_mask),
+            jnp.asarray(mem_group),
+            jnp.asarray(mem_group_mask),
+            jnp.asarray(group_sample),
+            jnp.asarray(group_vocab),
+            jnp.asarray(group_valid),
+            start_tokens,
+        )
+        emitted = np.asarray(emitted)  # the ONLY device->host transfer
+        logps = np.asarray(logps)
+
+        results: List[Tuple[List[str], float]] = []
+        for bi in range(batch_size):
+            tokens: List[str] = []
+            for t in range(s):
+                wid = int(emitted[t, bi])
+                if wid < 0:
+                    break
+                if wid < vocab_size:
+                    if wid == end_id:
+                        break
+                    tokens.append(output_vocab.get_name_for_id(wid))
+                else:
+                    tokens.append(group_strings[wid - vocab_size])
+            results.append((tokens, float(logps[bi])))
+        return results
+
+    def _greedy_decode_host(
+        self,
+        *,
+        input_concrete_values: List[str],
+        input_memories,
+        input_memories_origin_idx,
+        memory_mask,
+        initial_states,
+        params: Params,
+        neural_module: GruCopyingDecoder,
+        num_real_targets: Optional[int] = None,
+        top_k: int = 100,
+    ) -> List[Tuple[List[str], float]]:
+        """Reference-shaped host loop: device computes per-step joint
+        logprobs, host merges copy probabilities by concrete string value
+        (one device->host sync per step, like grucopydecoder.py:407-455)."""
         import math
 
         output_vocab = self.__output_vocabulary
@@ -442,7 +645,7 @@ class GruCopyingDecoderModel(
             copy_lp = np.asarray(copy_logprobs)[:, 0]  # [M]
 
             # Top-k vocab + copy-by-string merge (grucopydecoder.py:407-434).
-            k = min(100, target_lp.shape[-1])
+            k = min(top_k, target_lp.shape[-1])
             topk_idxs = np.argpartition(-target_lp, k - 1, axis=-1)[:, :k]
             merged = [
                 {

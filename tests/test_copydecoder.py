@@ -274,3 +274,48 @@ def test_copy_decoder_greedy_decode_produces_copies():
     assert len(decoded) == 3
     # Sample 0 target was ["alpha", "beta"]; after overfit, decode matches.
     assert decoded[0][0] == ["alpha", "beta"], decoded
+
+
+def test_device_decode_matches_host_decode():
+    """The device-resident lax.scan decoder must reproduce the host loop's
+    outputs (host run with top_k=V so both merge over the full vocabulary)."""
+    model, data, inputs = build_case()
+    module = model.build_neural_module()
+    params = module.init(jax.random.PRNGKey(7))
+
+    rng = np.random.RandomState(5)
+    counts = [len(i) for i in inputs]
+    M_real = sum(counts)
+    D, H = 7, 8
+    memories = rng.randn(M_real, D).astype(np.float32)
+    init_states = rng.randn(len(data), H).astype(np.float32)
+    origin = np.concatenate([[b] * c for b, c in enumerate(counts)]).astype(np.int32)
+
+    B_pad, M_pad = 5, 16
+    mem_pad = np.zeros((M_pad, D), np.float32)
+    mem_pad[:M_real] = memories
+    origin_pad = np.full(M_pad, B_pad, np.int32)
+    origin_pad[:M_real] = origin
+    mem_mask = np.arange(M_pad) < M_real
+    init_pad = np.zeros((B_pad, H), np.float32)
+    init_pad[: len(data)] = init_states
+
+    flat_values = [v for inp in inputs for v in inp]
+    kwargs = dict(
+        input_concrete_values=flat_values,
+        input_memories=jnp.asarray(mem_pad),
+        input_memories_origin_idx=jnp.asarray(origin_pad),
+        memory_mask=jnp.asarray(mem_mask),
+        initial_states=jnp.asarray(init_pad),
+        params=params,
+        neural_module=module,
+        num_real_targets=3,
+    )
+    host = model.greedy_decode(
+        **kwargs, device_resident=False, top_k=module.vocabulary_size
+    )
+    dev = model.greedy_decode(**kwargs, device_resident=True)
+    assert len(host) == len(dev) == 3
+    for (h_toks, h_lp), (d_toks, d_lp) in zip(host, dev):
+        assert h_toks == d_toks, (h_toks, d_toks)
+        np.testing.assert_allclose(d_lp, h_lp, rtol=1e-4, atol=1e-4)
