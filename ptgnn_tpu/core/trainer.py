@@ -189,6 +189,13 @@ class ModelTrainer:
     def _save_checkpoint(self) -> None:
         self._model.save(self._checkpoint_location, self._params)
 
+    def _save_optimizer_state(self, opt_state, next_epoch: int) -> None:
+        """Per-epoch optimizer-state checkpoint (reference: trainer.py:436-439).
+        Overridden by the distributed trainer for coordinator-only writes."""
+        ckpt.save_optimizer_state(
+            self._checkpoint_location.with_suffix(".optimizerstate"), opt_state, next_epoch
+        )
+
     def _restore_checkpoint(self) -> None:
         _, self._params = self._model.restore_model(self._checkpoint_location)
 
@@ -429,9 +436,7 @@ class ModelTrainer:
                 training_tensors, epoch, optimizer, opt_state, scheduler,
                 parallelize, shuffle_training_data, show_progress_bar,
             )
-            ckpt.save_optimizer_state(
-                self._checkpoint_location.with_suffix(".optimizerstate"), opt_state, epoch + 1
-            )
+            self._save_optimizer_state(opt_state, epoch + 1)
             target_metric, improved, validation_metrics = self._run_validation(
                 validation_tensors, epoch, best_target_metric, parallelize
             )

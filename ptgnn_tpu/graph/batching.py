@@ -70,6 +70,20 @@ class GraphBatcher:
         assert padding.max_edge_slots % padding.edge_tile == 0
 
     @property
+    def _block_align(self) -> int:
+        """Slot alignment of each row block's run (the sum supertile).
+        Falls back to edge_tile when agg_sum_tile is off or incompatible
+        with the configured tile/budget (then sum runs at edge_tile)."""
+        s = self.padding.agg_sum_tile
+        if (
+            s
+            and s % self.padding.edge_tile == 0
+            and self.padding.max_edge_slots % s == 0
+        ):
+            return s
+        return self.padding.edge_tile
+
+    @property
     def num_edge_types(self) -> int:
         t = self.num_fwd_edge_types
         if self.introduce_backwards_edges:
@@ -149,10 +163,15 @@ class GraphBatcher:
 
     def _slots_for(self, seg_counts: Dict[Tuple[int, int], int]) -> int:
         tile = self.padding.edge_tile
-        slots = sum(_tile_ceil(c, tile) for c in seg_counts.values())
-        # every row block needs >= 1 tile so its output block initializes
-        blocks_with_edges = {b for b, _ in seg_counts}
-        slots += tile * (self.num_row_blocks - len(blocks_with_edges))
+        align = self._block_align
+        # (block, type) segments pad to edge_tile; each block's run then pads
+        # to the supertile alignment; empty blocks still get one aligned run
+        # so their output block initializes.
+        per_block: Dict[int, int] = {}
+        for (b, _t), c in seg_counts.items():
+            per_block[b] = per_block.get(b, 0) + _tile_ceil(c, tile)
+        slots = sum(_tile_ceil(s, align) for s in per_block.values())
+        slots += align * (self.num_row_blocks - len(per_block))
         return slots
 
     def _merged_seg_counts(self, graph, offset) -> Dict[Tuple[int, int], int]:
@@ -243,7 +262,7 @@ class GraphBatcher:
         native_result = native_mod.assemble_edge_layout(
             senders_r, receivers_r, types_r, feats_r,
             max_nodes=n_pad, e_pad=e_pad, tile=tile, agg_rows=r,
-            num_types=t_total,
+            num_types=t_total, align=self._block_align,
         )
         if native_result is not None:
             (senders, receivers, edge_types, local_rows, edge_mask,
@@ -283,12 +302,13 @@ class GraphBatcher:
         edge_mask = np.zeros(e_pad, bool)
         feature_slot = np.full(e_pad, -1, np.int32)
 
+        align = self._block_align
         cursor = 0
         tile_cursor = 0
         seg_idx = 0
         num_segments = len(seg_bounds) - 1
         for b in range(num_blocks):
-            block_tiles = 0
+            block_start = cursor
             while seg_idx < num_segments:
                 s0, s1 = seg_bounds[seg_idx], seg_bounds[seg_idx + 1]
                 if s1 <= s0 or block_r[s0] != b:
@@ -309,13 +329,15 @@ class GraphBatcher:
                 tile_row_blocks[tile_cursor : tile_cursor + seg // tile] = b
                 cursor += seg
                 tile_cursor += seg // tile
-                block_tiles += seg // tile
                 seg_idx += 1
-            if block_tiles == 0:
-                # all-padding tile so the output block gets initialized
-                tile_row_blocks[tile_cursor] = b
-                cursor += tile
-                tile_cursor += 1
+            # Pad the block's run to the supertile alignment with all-padding
+            # tiles mapped to this block. Empty blocks get one full aligned
+            # run so their output block still initializes.
+            target = block_start + _tile_ceil(max(cursor - block_start, 1), align)
+            pad_tiles = (target - cursor) // tile
+            tile_row_blocks[tile_cursor : tile_cursor + pad_tiles] = b
+            cursor = target
+            tile_cursor += pad_tiles
         assert cursor <= e_pad, "batcher admitted more edges than the budget"
         # Trailing spare tiles continue the last row block (all padding).
         if tile_cursor < n_tiles:
@@ -357,6 +379,18 @@ class GraphBatcher:
                 tt < base, tt + base, np.where(tt < 2 * base, tt - base, tt)
             ).astype(np.int32)
 
+        # Supertile view for the sum kernel: valid when every group of
+        # agg_sum_tile/edge_tile consecutive tiles shares one row block
+        # (guaranteed by the aligned python layout; the check keeps the
+        # native assembler path honest too).
+        super_tile_row_blocks = None
+        align = self._block_align
+        if align > tile:
+            k = align // tile
+            grouped = tile_row_blocks.reshape(n_tiles // k, k)
+            if bool(np.all(grouped == grouped[:, :1])):
+                super_tile_row_blocks = np.ascontiguousarray(grouped[:, 0])
+
         adjacency = AdjacencyStruct(
             senders=senders,
             receivers=receivers,
@@ -365,11 +399,9 @@ class GraphBatcher:
             mask=edge_mask,
             tile_types_transposed=tile_types_transposed,
             local_rows=local_rows.reshape(e_pad, 1),
-            local_rows_row=np.repeat(
-                local_rows.reshape(n_tiles, tile), 8, axis=0
-            ).reshape(n_tiles * 8, tile),
             tile_row_blocks=tile_row_blocks,
             agg_counts=counts,
+            super_tile_row_blocks=super_tile_row_blocks,
             edge_feature_slot=feature_slot,
         )
 
@@ -410,4 +442,33 @@ class GraphBatcher:
             num_edges=np.int32(mb["num_edges_in_mb"]),
             num_graphs=np.int32(num_graphs),
             graph_mask=graph_mask,
+            att_order=self._build_att_order(mb["num_nodes_per_graph"]),
         )
+
+    def _build_att_order(self, num_nodes_per_graph) -> "np.ndarray | None":
+        """[n_blocks, att_block] node permutation: Next-Fit bin packing of
+        graphs into attention blocks, so no graph <= att_block straddles a
+        block boundary (making block attention exact for it — the
+        reference's chunk-aligned-to-graph semantics,
+        selfattmessagepassing.py:59-75). Graphs larger than a block are
+        chunked across consecutive blocks, like the reference. Next-Fit uses
+        < 2x slots, so the static budget below always suffices."""
+        block = self.padding.att_block
+        if not block:
+            return None
+        n_pad = self.padding.max_nodes
+        n_blocks = -(-(2 * n_pad) // block) + 1
+        order = np.full(n_blocks * block, n_pad, np.int32)
+        cursor = 0  # next free slot in the flat order array
+        offset = 0  # node id of the current graph's first node
+        for n in num_nodes_per_graph:
+            remaining = block - cursor % block
+            if n <= block and n > remaining:
+                cursor += remaining  # seal the block; start at the next one
+            order[cursor : cursor + n] = np.arange(offset, offset + n, dtype=np.int32)
+            cursor += n
+            if n > block and cursor % block:
+                cursor += block - cursor % block  # big graphs end their block
+            offset += n
+        assert cursor <= len(order)
+        return order.reshape(n_blocks, block)

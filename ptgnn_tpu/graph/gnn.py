@@ -160,6 +160,7 @@ class GraphNeuralNetwork(Module):
             graph_mask=batch.graph_mask,
             references=batch.references,
             edge_axis=getattr(self, "edge_partition_axis", None),
+            att_order=batch.att_order,
         )
         output = self.gnn(
             params, initial, ctx, train=train, rng=rng, return_all_states=return_all_states

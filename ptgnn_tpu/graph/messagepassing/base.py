@@ -45,6 +45,9 @@ class GraphContext(NamedTuple):
     # Mesh axis name when the edge array is partitioned across devices
     # (parallel/edge_sharding.py); aggregations then add one collective.
     edge_axis: Any = None
+    # [n_blocks, att_block] node permutation for exact block-diagonal
+    # self-attention (graph/batching.py), or None.
+    att_order: Any = None
 
     @property
     def max_graphs(self) -> int:

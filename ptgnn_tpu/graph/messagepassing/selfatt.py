@@ -128,10 +128,32 @@ class MultiHeadSelfAttentionMessagePassing(AbstractMessagePassingLayer):
         rng: Optional[jax.Array] = None,
     ) -> jax.Array:
         n = node_states.shape[0]
+        order = None
         if self.target_reference == "all":
-            relevant = node_states
-            graph_ids = ctx.node_graph
-            valid = ctx.node_mask
+            if (
+                ctx.att_order is not None
+                and ctx.att_order.shape[1] == self.block_size
+            ):
+                # Batch-provided permutation: every graph <= block occupies
+                # ONE block, so block attention is exact for it (the
+                # reference's chunk semantics). Gather rows, attend, scatter
+                # the updated rows back.
+                order = ctx.att_order.reshape(-1)
+                safe = jnp.minimum(order, n - 1)
+                in_range = order < n
+                relevant = jnp.take(node_states, safe, axis=0)
+                graph_ids = jnp.where(
+                    in_range,
+                    jnp.take(ctx.node_graph, safe, axis=0),
+                    jnp.full((), -1, ctx.node_graph.dtype),
+                )
+                valid = jnp.logical_and(
+                    in_range, jnp.take(ctx.node_mask, safe, axis=0)
+                )
+            else:
+                relevant = node_states
+                graph_ids = ctx.node_graph
+                valid = ctx.node_mask
         else:
             ref = ctx.references[self.target_reference]
             relevant = jnp.take(node_states, ref.node_ids, axis=0)
@@ -177,7 +199,14 @@ class MultiHeadSelfAttentionMessagePassing(AbstractMessagePassingLayer):
         output_node_states = self.layer_norm2.apply(params["layer_norm2"], out + attention_output)
 
         if self.target_reference == "all":
-            return output_node_states
+            if order is None:
+                return output_node_states
+            # Scatter permuted rows back; padding slots (order >= n) drop.
+            return (
+                jnp.zeros_like(output_node_states, shape=(n,) + output_node_states.shape[1:])
+                .at[order]
+                .set(output_node_states, mode="drop")
+            )
         # Write the updated reference rows back in place; padding rows are
         # routed to an out-of-range index and dropped.
         ref = ctx.references[self.target_reference]

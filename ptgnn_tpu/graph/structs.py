@@ -102,6 +102,17 @@ class BatchPadding:
     # Receiver rows per aggregation block: the Pallas segment kernel keeps
     # one [agg_rows, D] output block in VMEM while tiles stream through it.
     agg_rows: int = 256
+    # Self-attention block size: the batcher emits a [n_blocks, att_block]
+    # node permutation that bin-packs each graph's nodes into one block, so
+    # block-diagonal attention is EXACT for graphs <= att_block (the
+    # reference's chunk semantics, selfattmessagepassing.py:59-75). 0 = off.
+    att_block: int = 256
+    # Aggregation SUPERTILE for sum/mean reductions: each row block's slot
+    # run is padded to a multiple of this, so the sum kernel walks tiles of
+    # agg_sum_tile edges (4x fewer grid steps at the default 512 vs the
+    # 128-edge type tiles) — sum needs no receiver sortedness within a tile,
+    # only one row block per tile. 0 = no alignment (sum runs at edge_tile).
+    agg_sum_tile: int = 512
     # (name, budget) pairs for reference-node sets; names not listed get
     # DEFAULT_REFERENCE_BUDGET slots.
     reference_budgets: Tuple[Tuple[str, int], ...] = field(default_factory=tuple)
@@ -140,9 +151,12 @@ class AdjacencyStruct(NamedTuple):
     mask: Any  # [E_pad] bool
     tile_types_transposed: Any = None  # [n_tiles] int32 type of each tile's transpose
     local_rows: Any = None  # [E_pad, 1] int32 receiver - block*R (padding: R)
-    local_rows_row: Any = None  # [n_tiles * 8, edge_tile] int32 (sublane-replicated)
     tile_row_blocks: Any = None  # [n_tiles] int32 (single row block per tile)
     agg_counts: Any = None  # [num_row_blocks, R] int32 in-degrees
+    # [n_super] int32, one row block per SUPERTILE of agg_sum_tile edges
+    # (present when the batcher aligned block runs; sum/mean kernels then
+    # walk supertiles — fewer grid steps, no sortedness requirement).
+    super_tile_row_blocks: Any = None
     # Per-slot index into the flattened edge-feature array (-1 = no features:
     # padding and self edges; backward edges share the forward edge's index,
     # reference: graphneuralnetwork.py:172-183).
@@ -174,6 +188,9 @@ class GraphBatch(NamedTuple):
     num_edges: Any  # scalar int32 (actual count, incl. materialized bwd/self)
     num_graphs: Any  # scalar int32 (actual count)
     graph_mask: Any  # [max_graphs] bool
+    # [n_blocks, att_block] int32 node permutation for exact block-diagonal
+    # self-attention (padding slots: max_nodes). None when att_block == 0.
+    att_order: Any = None
 
     @property
     def max_nodes(self) -> int:

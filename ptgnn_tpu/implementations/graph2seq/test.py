@@ -66,9 +66,14 @@ def run(args: argparse.Namespace) -> None:
     print(f"JW Sim {metrics['jaro_winkler']}")
 
 
-if __name__ == "__main__":
+def main() -> None:
+    """Console entry point (pyproject.toml [project.scripts])."""
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("model_filename", type=Path)
     parser.add_argument("test_data_path", type=Path)
     logging.basicConfig(level=logging.INFO)
     run(parser.parse_args())
+
+
+if __name__ == "__main__":
+    main()

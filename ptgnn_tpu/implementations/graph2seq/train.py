@@ -155,6 +155,11 @@ def run(args: argparse.Namespace) -> ModelTrainer:
     return trainer
 
 
-if __name__ == "__main__":
+def main() -> None:
+    """Console entry point (pyproject.toml [project.scripts])."""
     logging.basicConfig(level=logging.INFO)
     run(build_arg_parser().parse_args())
+
+
+if __name__ == "__main__":
+    main()

@@ -25,8 +25,13 @@ def run(args: argparse.Namespace) -> None:
     print(f"Test metrics: {metrics}")
 
 
-if __name__ == "__main__":
+def main() -> None:
+    """Console entry point (pyproject.toml [project.scripts])."""
     parser = train_cli.build_arg_parser()
     parser.add_argument("test_data_path", type=Path)
     logging.basicConfig(level=logging.INFO)
     run(parser.parse_args())
+
+
+if __name__ == "__main__":
+    main()

@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ptgnn_tpu.core.data import enforce_not_None
 from ptgnn_tpu.core.model import AbstractNeuralModel
 from ptgnn_tpu.graph.gnn import GraphNeuralNetwork, GraphNeuralNetworkModel
 from ptgnn_tpu.graph.structs import GraphData, TensorizedGraphData
@@ -145,45 +144,38 @@ class Graph2Class(
     def gnn_model(self) -> GraphNeuralNetworkModel:
         return self.__gnn_model
 
-    def __convert(self, typilus_graph: TypilusGraph) -> Tuple[GraphData, List[str]]:
-        """Typilus JSON -> GraphData + per-supernode annotations
-        (reference: graph2class.py:118-156)."""
-
-        def get_adj_list(adjacency_dict):
-            for from_node_idx, to_node_idxs in adjacency_dict.items():
-                from_node_idx = int(from_node_idx)
-                for to_idx in to_node_idxs:
-                    yield (from_node_idx, to_idx)
-
+    def __convert(self, raw: TypilusGraph) -> Tuple[GraphData, List[str]]:
+        """Parse one Typilus-schema JSON graph into GraphData plus its
+        labeled supernodes. The JSON schema and filtering rules are the
+        contract (behavior of reference graph2class.py:118-156): nested
+        {edge_kind: {src: [dsts]}} adjacency flattens to pair lists; a
+        supernode is kept when its annotation is present (or the
+        keep-unlabeled flag is on, labeling it "??") and not an ignored
+        type (Any/None/type variables)."""
         edges = {
-            edge_type: list(get_adj_list(adj_dict))
-            for edge_type, adj_dict in typilus_graph["edges"].items()
+            kind: [(int(src), dst) for src, dsts in nested.items() for dst in dsts]
+            for kind, nested in raw["edges"].items()
         }
 
-        supernode_idxs_with_ground_truth: List[int] = []
-        supernode_annotations: List[str] = []
-        for supernode_idx, supernode_data in typilus_graph["supernodes"].items():
-            annotation = supernode_data.get("annotation")
-            if annotation in IGNORED_TYPES:
+        keep_unlabeled = self.__tensorize_samples_with_no_annotation
+        labeled_ids: List[int] = []
+        labels: List[str] = []
+        for raw_idx, info in raw["supernodes"].items():
+            label = info.get("annotation")
+            if label in IGNORED_TYPES or (label is None and not keep_unlabeled):
                 continue
-            if not self.__tensorize_samples_with_no_annotation and annotation is None:
-                continue
-            elif annotation is None:
-                annotation = "??"
-            supernode_idxs_with_ground_truth.append(int(supernode_idx))
-            supernode_annotations.append(enforce_not_None(annotation))
+            labeled_ids.append(int(raw_idx))
+            labels.append("??" if label is None else label)
 
-        return (
-            GraphData(
-                node_information=typilus_graph["nodes"],
-                edges=edges,
-                reference_nodes={
-                    "token-sequence": typilus_graph["token-sequence"],
-                    "supernodes": supernode_idxs_with_ground_truth,
-                },
-            ),
-            supernode_annotations,
+        graph = GraphData(
+            node_information=raw["nodes"],
+            edges=edges,
+            reference_nodes={
+                "token-sequence": raw["token-sequence"],
+                "supernodes": labeled_ids,
+            },
         )
+        return graph, labels
 
     # ---- metadata (reference: graph2class.py:159-175) ----
     def initialize_metadata(self) -> None:

@@ -28,8 +28,13 @@ def run(args: argparse.Namespace) -> None:
             )
 
 
-if __name__ == "__main__":
+def main() -> None:
+    """Console entry point (pyproject.toml [project.scripts])."""
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("model_filename", type=Path)
     parser.add_argument("data_path", type=Path)
     run(parser.parse_args())
+
+
+if __name__ == "__main__":
+    main()

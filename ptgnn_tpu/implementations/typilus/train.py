@@ -231,6 +231,11 @@ def run(args: argparse.Namespace) -> None:
     print(f"Test accuracy: {acc:%}")
 
 
-if __name__ == "__main__":
+def main() -> None:
+    """Console entry point (pyproject.toml [project.scripts])."""
     logging.basicConfig(level=logging.INFO)
     run(build_arg_parser().parse_args())
+
+
+if __name__ == "__main__":
+    main()

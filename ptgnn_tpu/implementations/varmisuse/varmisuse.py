@@ -131,22 +131,26 @@ class VarMisuseModel(
 
     @classmethod
     def __add_subtoken_vocab_nodes(cls, graph: GraphData) -> None:
-        """Derived subtoken vocabulary nodes + SubtokenOf edges
-        (reference: varmisuse.py:103-123)."""
-        all_token_nodes = set(chain(*(e for e in graph.edges.get("NextToken", []))))
-        subtoken_edges: List[Tuple[int, int]] = []
-        subtoken_node_ids: Dict[str, int] = {}
-        for token_node_idx in sorted(all_token_nodes):
-            token_text = graph.node_information[token_node_idx][0]
-            if not cls.IDENTIFIER_REGEX.match(token_text):
+        """Append one vocabulary node per distinct subtoken appearing in the
+        graph's identifier tokens, plus a SubtokenOf edge from each
+        vocabulary node to every token node that contains it (behavior of
+        reference varmisuse.py:103-123). Token nodes are the NextToken
+        backbone; iteration is sorted so derived node numbering is
+        deterministic."""
+        backbone = sorted(set(chain(*graph.edges.get("NextToken", []))))
+        containing_tokens: Dict[str, List[int]] = {}
+        for node_idx in backbone:
+            text = graph.node_information[node_idx][0]
+            if not cls.IDENTIFIER_REGEX.match(text):
                 continue
-            for subtoken in split_identifier_into_parts(token_text):
-                subtoken_node_idx = subtoken_node_ids.get(subtoken)
-                if subtoken_node_idx is None:
-                    subtoken_node_idx = len(graph.node_information)
-                    graph.node_information.append((subtoken, False))
-                    subtoken_node_ids[subtoken] = subtoken_node_idx
-                subtoken_edges.append((subtoken_node_idx, token_node_idx))
+            for part in split_identifier_into_parts(text):
+                containing_tokens.setdefault(part, []).append(node_idx)
+
+        subtoken_edges: List[Tuple[int, int]] = []
+        for part, token_nodes in containing_tokens.items():
+            vocab_node = len(graph.node_information)
+            graph.node_information.append((part, False))
+            subtoken_edges.extend((vocab_node, t) for t in token_nodes)
         graph.edges["SubtokenOf"] = subtoken_edges
 
     def update_metadata_from(self, datapoint: VarMisuseSample) -> None:

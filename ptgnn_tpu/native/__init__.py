@@ -77,11 +77,11 @@ def get_assembler() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(str(_LIB_PATH))
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
-        lib.assemble_edge_layout_v2.restype = ctypes.c_int
-        lib.assemble_edge_layout_v2.argtypes = [
+        lib.assemble_edge_layout_v3.restype = ctypes.c_int
+        lib.assemble_edge_layout_v3.argtypes = [
             i32p, i32p, i32p, i32p,
             ctypes.c_int64, ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             i32p, i32p, i32p, i32p, u8p, i32p, i32p, i32p, i32p,
         ]
         _lib = lib
@@ -101,6 +101,7 @@ def assemble_edge_layout(
     tile: int,
     agg_rows: int,
     num_types: int,
+    align: int = 0,
 ) -> Optional[Tuple[np.ndarray, ...]]:
     """Run the native layout assembly; None if the library is unavailable or
     the edge budget is exceeded (caller handles both identically)."""
@@ -120,12 +121,12 @@ def assemble_edge_layout(
     out_payload = np.empty(e_pad, np.int32)
     if payload is None:
         payload = np.full(len(senders), -1, np.int32)
-    rc = lib.assemble_edge_layout_v2(
+    rc = lib.assemble_edge_layout_v3(
         np.ascontiguousarray(senders, np.int32),
         np.ascontiguousarray(receivers, np.int32),
         np.ascontiguousarray(types, np.int32),
         np.ascontiguousarray(payload, np.int32),
-        len(senders), max_nodes, e_pad, tile, agg_rows, num_types,
+        len(senders), max_nodes, e_pad, tile, agg_rows, num_types, align,
         out_senders, out_receivers, out_types, out_local_rows, out_mask,
         out_tile_types, out_tile_row_blocks, out_counts, out_payload,
     )

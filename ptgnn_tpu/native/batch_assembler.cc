@@ -27,11 +27,12 @@ extern "C" {
 //   out_local_rows[e_pad], out_mask[e_pad] (uint8),
 //   out_tile_types[e_pad/tile], out_tile_row_blocks[e_pad/tile],
 //   out_counts[num_row_blocks * agg_rows]
-int assemble_edge_layout_v2(
+int assemble_edge_layout_v3(
     const int32_t* senders, const int32_t* receivers, const int32_t* types,
     const int32_t* payload,  // per-edge auxiliary ids carried through the sort
     int64_t num_edges, int32_t max_nodes, int64_t e_pad, int32_t tile,
     int32_t agg_rows, int32_t num_types,
+    int32_t align,  // supertile alignment of each block's slot run (>= tile)
     int32_t* out_senders, int32_t* out_receivers, int32_t* out_types,
     int32_t* out_local_rows, uint8_t* out_mask, int32_t* out_tile_types,
     int32_t* out_tile_row_blocks, int32_t* out_counts, int32_t* out_payload) {
@@ -51,14 +52,14 @@ int assemble_edge_layout_v2(
   // Slot offsets: walk blocks in order; each nonempty bucket padded to a
   // tile multiple; empty blocks get one all-padding tile.
   std::vector<int64_t> bucket_offset(num_buckets, -1);
+  if (align < tile) align = tile;
   int64_t cursor = 0;
   int64_t tile_cursor = 0;
   for (int32_t b = 0; b < num_blocks; ++b) {
-    bool block_has_edges = false;
+    const int64_t block_start = cursor;
     for (int32_t t = 0; t < num_types; ++t) {
       const int64_t k = static_cast<int64_t>(b) * num_types + t;
       if (bucket_count[k] == 0) continue;
-      block_has_edges = true;
       bucket_offset[k] = cursor;
       const int64_t seg = ((bucket_count[k] + tile - 1) / tile) * tile;
       if (cursor + seg > e_pad) return -1;
@@ -72,8 +73,14 @@ int assemble_edge_layout_v2(
       cursor += seg;
       tile_cursor += seg_tiles;
     }
-    if (!block_has_edges) {
-      if (cursor + tile > e_pad) return -1;
+    // Pad the block's run to the supertile alignment; empty blocks get one
+    // full aligned run so their output block initializes (mirrors
+    // graph/batching.py's aligned layout).
+    int64_t run = cursor - block_start;
+    if (run < 1) run = 1;
+    const int64_t target = block_start + ((run + align - 1) / align) * align;
+    if (target > e_pad) return -1;
+    while (cursor < target) {
       out_tile_types[tile_cursor] = 0;
       out_tile_row_blocks[tile_cursor] = b;
       cursor += tile;

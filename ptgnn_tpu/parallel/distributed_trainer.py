@@ -54,10 +54,23 @@ class DistributedModelTrainer(ModelTrainer):
         self._zero1 = zero1
         self._dp: Optional[DataParallel] = None
         self._empty_minibatch_template: Optional[Dict[str, Any]] = None
+        self._globalized = False
 
     @property
     def num_devices(self) -> int:
         return self._mesh.shape["data"]
+
+    @property
+    def num_local_devices(self) -> int:
+        """Mesh devices owned by this process (group size per host)."""
+        return sum(
+            1 for d in self._mesh.devices.flat
+            if d.process_index == jax.process_index()
+        )
+
+    @property
+    def is_coordinator(self) -> bool:
+        return jax.process_index() == 0
 
     # ------------------------------------------------------------------
     def _build_step_functions(self, optimizer: optax.GradientTransformation):
@@ -80,26 +93,75 @@ class DistributedModelTrainer(ModelTrainer):
         return self._empty_minibatch_template
 
     def _group_minibatches(self, minibatch_iterator):
-        """Yield (stacked group of num_devices minibatches, raw sample lists,
-        per-device real-sample weights). Padding batches get weight 0 so the
-        weighted psum in parallel/dp.py ignores them."""
-        group: List[Dict[str, Any]] = []
-        raw: List[Any] = []
-        counts: List[float] = []
-        for mb_data, raw_samples in minibatch_iterator:
-            group.append(mb_data)
-            raw.extend(raw_samples)
-            counts.append(float(len(raw_samples)))
-            if len(group) == self.num_devices:
+        """Yield (stacked group of num_LOCAL_devices minibatches, raw sample
+        lists, per-local-device real-sample weights). Padding batches get
+        weight 0 so the weighted psum in parallel/dp.py ignores them.
+
+        Multi-host: every process must execute the same number of steps
+        (SPMD collectives). After each local group, hosts agree via a tiny
+        allgather whether anyone still has data; exhausted hosts keep
+        feeding fully masked empty groups — the reference's
+        DDP.join(throw_on_early_termination) semantics
+        (distributedtrainer.py:55) without dynamic teardown."""
+        per_host = self.num_local_devices
+
+        def local_groups():
+            group: List[Dict[str, Any]] = []
+            raw: List[Any] = []
+            counts: List[float] = []
+            for mb_data, raw_samples in minibatch_iterator:
+                group.append(mb_data)
+                raw.extend(raw_samples)
+                counts.append(float(len(raw_samples)))
+                if len(group) == per_host:
+                    yield stack_minibatches(group), raw, np.asarray(counts, np.float32)
+                    group, raw, counts = [], [], []
+            if group:
+                while len(group) < per_host:
+                    group.append(self._empty_minibatch())
+                    counts.append(0.0)
                 yield stack_minibatches(group), raw, np.asarray(counts, np.float32)
-                group, raw, counts = [], [], []
-        if group:
-            while len(group) < self.num_devices:
-                group.append(self._empty_minibatch())
-                counts.append(0.0)
-            yield stack_minibatches(group), raw, np.asarray(counts, np.float32)
+
+        if jax.process_count() == 1:
+            yield from local_groups()
+            return
+
+        from jax.experimental import multihost_utils
+
+        it = iter(local_groups())
+        empty_group = None
+        while True:
+            item = next(it, None)
+            anyone = multihost_utils.process_allgather(
+                np.asarray(item is not None, np.int32)
+            )
+            if not int(np.max(anyone)):
+                return
+            if item is None:
+                if empty_group is None:
+                    empty_group = stack_minibatches(
+                        [self._empty_minibatch()] * per_host
+                    )
+                yield empty_group, [], np.zeros(per_host, np.float32)
+            else:
+                yield item
 
     # ------------------------------------------------------------------
+    def _globalize(self, params, opt_state):
+        """Multi-host: lift host-side params/optimizer state into globally
+        sharded arrays once (replicated; ZeRO-1 resharding happens inside
+        the step's with_sharding_constraint)."""
+        if jax.process_count() == 1 or self._globalized:
+            return params, opt_state
+        params = self._dp.device_put_params(params)
+        if opt_state is not None:
+            opt_state = self._dp._put(
+                jax.tree_util.tree_map(np.asarray, opt_state), self._dp.replicated()
+            )
+        self._globalized = True
+        self._params = params
+        return params, opt_state
+
     def _run_training(
         self, training_tensors, epoch, optimizer, opt_state, scheduler, parallelize,
         shuffle_input=True, show_progress_bar=False,
@@ -108,7 +170,7 @@ class DistributedModelTrainer(ModelTrainer):
         metrics_acc = MetricsAccumulator()
         start_time = time.time()
         rng = jax.random.PRNGKey(self._seed * 1_000_003 + epoch)
-        params = self.params
+        params, opt_state = self._globalize(self.params, opt_state)
         for step_idx, (stacked_mb, raw_samples, weights) in enumerate(
             self._group_minibatches(
                 self.model.minibatch_iterator(
@@ -124,7 +186,7 @@ class DistributedModelTrainer(ModelTrainer):
             stacked_mb = self._dp.device_put_batch(stacked_mb)
             params, opt_state, loss, metrics = self._train_step_fn(
                 params, opt_state, stacked_mb, jax.random.fold_in(rng, step_idx),
-                lr_factor, weights,
+                lr_factor, self._dp.device_put_weights(weights),
             )
             sum_epoch_loss += float(loss)
             num_minibatches += 1
@@ -159,6 +221,7 @@ class DistributedModelTrainer(ModelTrainer):
     def _run_validation(self, validation_tensors, epoch, best_target_metric, parallelize):
         sum_epoch_loss, num_minibatches, num_samples = 0.0, 0, 0
         metrics_acc = MetricsAccumulator()
+        params, _ = self._globalize(self.params, None)
         for stacked_mb, raw_samples, weights in self._group_minibatches(
             self.model.minibatch_iterator(
                 validation_tensors(),
@@ -169,7 +232,9 @@ class DistributedModelTrainer(ModelTrainer):
             )
         ):
             stacked_mb = self._dp.device_put_batch(stacked_mb)
-            loss, metrics = self._eval_step_fn(self.params, stacked_mb, weights)
+            loss, metrics = self._eval_step_fn(
+                params, stacked_mb, self._dp.device_put_weights(weights)
+            )
             sum_epoch_loss += float(loss)
             num_minibatches += 1
             num_samples += len(raw_samples)
@@ -191,6 +256,37 @@ class DistributedModelTrainer(ModelTrainer):
         else:
             improved = target_metric < best_target_metric
         return target_metric, improved, validation_metrics
+
+
+    # ------------------------------------------------------------------
+    # Multi-host persistence: collectives run on every host; only the
+    # coordinator writes (reference: rank-0-only checkpointing,
+    # distributedtrainer.py:358-363,375-381).
+    def _save_checkpoint(self) -> None:
+        if self.is_coordinator:
+            super()._save_checkpoint()
+
+    def _restore_checkpoint(self) -> None:
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            # don't read while the coordinator may still be writing
+            multihost_utils.sync_global_devices("ptgnn_tpu_restore_checkpoint")
+        super()._restore_checkpoint()
+        self._globalized = False  # params are host-side again
+
+    def _save_optimizer_state(self, opt_state, next_epoch: int) -> None:
+        if jax.process_count() > 1:
+            # ZeRO-1 shards live across hosts; re-replicate so every host
+            # holds the full state, then the coordinator writes it.
+            opt_state = jax.jit(
+                lambda s: s,
+                out_shardings=jax.tree_util.tree_map(
+                    lambda _: self._dp.replicated(), opt_state
+                ),
+            )(opt_state)
+        if self.is_coordinator:
+            super()._save_optimizer_state(opt_state, next_epoch)
 
 
 def initialize_multi_host(

@@ -99,14 +99,45 @@ class DataParallel:
     def batch_sharding(self):
         return NamedSharding(self.mesh, P(self.axis))
 
+    @property
+    def num_local_devices(self) -> int:
+        """Devices of this mesh owned by THIS process (== num_devices in
+        single-controller runs; the per-host group size under multi-host)."""
+        return sum(1 for d in self.mesh.devices.flat if d.process_index == jax.process_index())
+
+    def _put(self, tree, sharding):
+        if jax.process_count() == 1:
+            return jax.device_put(tree, sharding)
+        # Multi-host: each process contributes its local block of the
+        # globally sharded array (replicated leaves pass the full value).
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+            tree,
+        )
+
     def device_put_params(self, params):
-        return jax.device_put(params, self.replicated())
+        return self._put(params, self.replicated())
 
     def device_put_batch(self, stacked_mb):
-        return jax.device_put(stacked_mb, self.batch_sharding())
+        """stacked_mb's leading axis is num_local_devices under multi-host
+        (each host stacks only its own group) or num_devices otherwise."""
+        return self._put(stacked_mb, self.batch_sharding())
+
+    def device_put_weights(self, weights):
+        return self._put(np.asarray(weights, np.float32), self.batch_sharding())
 
     # -- optimizer state --------------------------------------------------
     def init_opt_state(self, params):
+        if jax.process_count() > 1:
+            # Multi-host: materialize the state inside jit with the target
+            # output shardings (hosts can't device_put partially owned
+            # global arrays).
+            shape = jax.eval_shape(self.optimizer.init, params)
+            shardings = (
+                self._zero1_opt_sharding(shape) if self.zero1 else
+                jax.tree_util.tree_map(lambda _: self.replicated(), shape)
+            )
+            return jax.jit(self.optimizer.init, out_shardings=shardings)(params)
         opt_state = self.optimizer.init(params)
         if not self.zero1:
             return jax.device_put(opt_state, self.replicated())

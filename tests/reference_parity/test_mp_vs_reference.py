@@ -331,3 +331,90 @@ def test_residual_layers_vs_reference(kind):
         params, jnp.asarray(states), jnp.asarray(later_states), train=False, rng=None
     )
     np.testing.assert_allclose(np.asarray(combined), expected, rtol=1e-4, atol=1e-5)
+
+
+def build_straddling_batch(att_block=8, seed=31):
+    """Graphs of sizes [5, 4, 6]: with contiguous placement, graphs 2 and 3
+    straddle the 8-node attention-block boundary; the batcher's att_order
+    must bin-pack each into a single block."""
+    from ptgnn_tpu.graph.batching import GraphBatcher
+    from ptgnn_tpu.graph.structs import BatchPadding, TensorizedGraphData
+
+    rng = np.random.RandomState(seed)
+    pad = BatchPadding(
+        max_nodes=24, max_edge_slots=144, max_graphs=4, edge_tile=8,
+        att_block=att_block,
+    )
+    b = GraphBatcher(2, pad, True, True)
+    mb = b.initialize()
+    sizes = [5, 4, 6]
+    for n in sizes:
+        adj = []
+        for _ in range(2):
+            e = rng.randint(2, 6)
+            adj.append(
+                (rng.randint(0, n, e).astype(np.int32), rng.randint(0, n, e).astype(np.int32))
+            )
+        b.extend(
+            TensorizedGraphData(
+                num_nodes=n, node_tensorized_data=[0] * n, adjacency_lists=adj,
+                edge_features=None, reference_nodes={},
+            ),
+            mb,
+        )
+    batch = b.finalize(mb, node_data={}, reference_names=[])
+    states = rng.randn(int(batch.num_nodes), 12).astype(np.float32)
+    return pad, batch, states, int(batch.num_nodes), b.num_edge_types, sizes
+
+
+def test_att_order_packs_each_graph_into_one_block():
+    pad, batch, states, num_nodes, _, sizes = build_straddling_batch()
+    order = np.asarray(batch.att_order)
+    block = order.shape[1]
+    flat = order.reshape(-1)
+    real = flat[flat < num_nodes]
+    # permutation of all real nodes
+    assert sorted(real.tolist()) == list(range(num_nodes))
+    # each graph's nodes inside exactly one block
+    gid_of = np.asarray(batch.node_graph)
+    offset = 0
+    for g, n in enumerate(sizes):
+        rows = {
+            i // block for i, slot in enumerate(flat) if slot < num_nodes
+            and offset <= slot < offset + n
+        }
+        assert len(rows) == 1, f"graph {g} spans blocks {rows}"
+        offset += n
+
+
+def test_selfatt_straddling_graphs_vs_reference():
+    """Exactness for graphs that would straddle a contiguous block boundary:
+    the reference never splits a graph smaller than its chunk
+    (selfattmessagepassing.py:59-75); with att_order neither do we."""
+    pad, batch, states, num_nodes, num_types, _ = build_straddling_batch()
+    D = states.shape[1]
+    HEADS, KD, VD, INTER = 2, 4, 4, 16
+    torch.manual_seed(8)
+    ref = RefSelfAtt(
+        input_state_dimension=D, key_query_dimension=KD, value_dimension=VD,
+        output_dimension=D, num_heads=HEADS, intermediate_dimension=INTER,
+    )
+    expected = ref_forward(ref, states, batch, num_nodes, num_types)
+
+    w = sd(ref)
+    ours = MultiHeadSelfAttentionMessagePassing(
+        input_state_dimension=D, key_query_dimension=KD, value_dimension=VD,
+        output_dimension=D, intermediate_dimension=INTER, num_heads=HEADS,
+        max_num_nodes=8,  # == pad.att_block; forces multi-block layout
+    )
+    params = {
+        "head_transforms": {"weight": j(w["selfatt_head_transforms.weight"])},
+        "summarization": {"weight": j(w["summarization_layer.weight"])},
+        "intermediate": {"weight": j(w["intermediate_layer.weight"]), "bias": j(w["intermediate_layer.bias"])},
+        "output": {"weight": j(w["output_layer.weight"]), "bias": j(w["output_layer.bias"])},
+        "layer_norm1": {"weight": j(w["layer_norm1.weight"]), "bias": j(w["layer_norm1.bias"])},
+        "layer_norm2": {"weight": j(w["layer_norm2.weight"]), "bias": j(w["layer_norm2.bias"])},
+    }
+    ctx = make_ctx(batch)._replace(att_order=jnp.asarray(batch.att_order))
+    out = np.asarray(ours.apply(params, pad_states(states, pad.max_nodes), ctx))
+    np.testing.assert_allclose(out[:num_nodes], expected, rtol=1e-4, atol=1e-5)

@@ -1,5 +1,6 @@
 """CLI integration: drive the typilus train CLI end to end through real
 argv + jsonl.gz files on disk, and smoke --help for every entry point."""
+import os
 import subprocess
 import sys
 import tempfile
@@ -9,6 +10,16 @@ import pytest
 
 from ptgnn_tpu.utils.io import write_jsonl_gz
 from ptgnn_tpu.utils.synthetic import synthetic_typilus_graphs
+
+def cpu_env():
+    """Subprocess env forced to CPU: without this the child registers the
+    axon TPU backend (JAX_PLATFORMS alone is ignored by that plugin) and
+    pays tunnel compiles — or hangs if the chip is busy."""
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
 
 CLIS = [
     "ptgnn_tpu.implementations.typilus.train",
@@ -27,7 +38,7 @@ def test_cli_help(cli):
     proc = subprocess.run(
         [sys.executable, "-m", cli, "--help"],
         capture_output=True, text=True, timeout=120,
-        cwd=str(Path(__file__).parent.parent),
+        cwd=str(Path(__file__).parent.parent), env=cpu_env(),
     )
     assert proc.returncode == 0, proc.stderr[-500:]
     assert "usage" in proc.stdout.lower()
@@ -52,7 +63,7 @@ def test_typilus_train_cli_end_to_end():
             "--max-nodes", "512", "--sequential-run", "--quiet",
         ],
         capture_output=True, text=True, timeout=600,
-        cwd=str(Path(__file__).parent.parent),
+        cwd=str(Path(__file__).parent.parent), env=cpu_env(),
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert model_path.exists()

@@ -1,0 +1,56 @@
+"""Two-process multi-host training smoke test on CPU.
+
+Exercises the path the reference only runs on real GPU clusters
+(distributedtrainer.py:283-285 rendezvous + DDP.join): two OS processes
+with 4 virtual CPU devices each join via jax.distributed.initialize,
+train one SPMD program over the 8-device global mesh with deliberately
+UNEVEN data shards, and must converge to identical replicated parameters.
+"""
+import json
+import socket
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_training_converges_identically():
+    import os
+
+    outdir = Path(tempfile.mkdtemp())
+    coordinator = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # no TPU backend in the workers
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+
+    worker = Path(__file__).parent / "multihost_worker.py"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), "2", coordinator, str(outdir)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+            cwd=str(Path(__file__).parent.parent),
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+
+    results = [
+        json.loads((outdir / f"result_{pid}.json").read_text()) for pid in range(2)
+    ]
+    # Replicated parameters must be bitwise-identical across hosts.
+    assert results[0]["checksum"] == results[1]["checksum"], results
+    assert results[0]["accuracy"] == results[1]["accuracy"], results
+    # And training on the full (uneven) shards must actually learn.
+    assert results[0]["accuracy"] > 0.93, results

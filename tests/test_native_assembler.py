@@ -36,7 +36,7 @@ def test_native_assembler_matches_python(monkeypatch):
         ref = build(m, disable_native=True)
     for field in ("senders", "receivers", "edge_types", "tile_types",
                   "mask", "local_rows", "tile_row_blocks", "agg_counts",
-                  "tile_types_transposed", "local_rows_row"):
+                  "tile_types_transposed", "super_tile_row_blocks"):
         np.testing.assert_array_equal(
             np.asarray(getattr(fast.adjacency, field)),
             np.asarray(getattr(ref.adjacency, field)),

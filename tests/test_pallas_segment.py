@@ -151,3 +151,65 @@ def test_batch_layout_aggregation_matches_fallback():
             segment_reduce(data, adj.receivers, pad.max_nodes, reduction, mask=adj.mask)
         )
         np.testing.assert_allclose(fast, ref, rtol=1e-5, atol=1e-5, err_msg=reduction)
+
+
+def _batch_with_super(edge_tile=8, agg_sum_tile=32, agg_rows=16, seed=3):
+    """A batcher-built batch whose layout has supertile-aligned block runs."""
+    from ptgnn_tpu.graph.batching import GraphBatcher
+    from ptgnn_tpu.graph.structs import BatchPadding, TensorizedGraphData
+
+    rng = np.random.RandomState(seed)
+    pad = BatchPadding(
+        max_nodes=64, max_edge_slots=512, max_graphs=4, edge_tile=edge_tile,
+        agg_rows=agg_rows, agg_sum_tile=agg_sum_tile,
+    )
+    b = GraphBatcher(2, pad, True, True)
+    mb = b.initialize()
+    for n in (20, 14):
+        adj = []
+        for _ in range(2):
+            e = rng.randint(4, 10)
+            adj.append(
+                (rng.randint(0, n, e).astype(np.int32), rng.randint(0, n, e).astype(np.int32))
+            )
+        b.extend(
+            TensorizedGraphData(
+                num_nodes=n, node_tensorized_data=[0] * n, adjacency_lists=adj,
+                edge_features=None, reference_nodes={},
+            ),
+            mb,
+        )
+    return pad, b.finalize(mb, node_data={}, reference_names=[])
+
+
+def test_supertile_layout_invariants():
+    pad, batch = _batch_with_super()
+    adj = batch.adjacency
+    assert adj.super_tile_row_blocks is not None
+    k = pad.agg_sum_tile // pad.edge_tile
+    grouped = np.asarray(adj.tile_row_blocks).reshape(-1, k)
+    np.testing.assert_array_equal(grouped, np.repeat(grouped[:, :1], k, axis=1))
+    np.testing.assert_array_equal(np.asarray(adj.super_tile_row_blocks), grouped[:, 0])
+    # every tile still type-pure and row-block-pure (edge-level check)
+    et = np.asarray(adj.edge_types).reshape(-1, pad.edge_tile)
+    np.testing.assert_array_equal(et, np.repeat(et[:, :1], pad.edge_tile, axis=1))
+
+
+@pytest.mark.parametrize("reduction", ["sum", "mean", "max", "min"])
+def test_adjacency_reduce_with_supertiles_matches_reference(reduction):
+    pad, batch = _batch_with_super()
+    adj = jax.tree_util.tree_map(jnp.asarray, batch.adjacency)
+    rng = np.random.RandomState(7)
+    data = rng.randn(pad.max_edge_slots, 16).astype(np.float32)
+    out = np.asarray(
+        sk.adjacency_segment_reduce(
+            jnp.asarray(data), adj, pad.max_nodes, reduction, mask=adj.mask
+        )
+    )
+    ref_fn = {
+        "sum": segment_sum, "mean": segment_mean, "max": segment_max, "min": segment_min,
+    }[reduction]
+    expected = np.asarray(
+        ref_fn(jnp.asarray(data), adj.receivers, pad.max_nodes, mask=adj.mask)
+    )
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)

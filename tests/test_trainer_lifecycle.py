@@ -68,15 +68,18 @@ class SimpleRegressionModel(AbstractNeuralModel):
         return len(partial_minibatch["features"]) < 64
 
     def finalize_minibatch(self, accumulated):
-        # static shape: pad to the fixed minibatch budget
-        feats = np.zeros((64, len(accumulated["features"][0])), np.float32)
-        targets = np.zeros(64, np.float32)
+        # static shape: pad to the fixed minibatch budget; empty input makes
+        # a fully masked padding batch (used by the distributed trainers)
         n = len(accumulated["features"])
-        feats[:n] = np.stack(accumulated["features"])
-        targets[:n] = np.asarray(accumulated["targets"])
-        # pad with copies of row 0 so padded rows don't perturb the loss scale
-        feats[n:] = feats[0]
-        targets[n:] = targets[0]
+        dim = accumulated["features"][0].shape[0] if n else self._SimpleRegressionModel__dim
+        feats = np.zeros((64, dim), np.float32)
+        targets = np.zeros(64, np.float32)
+        if n:
+            feats[:n] = np.stack(accumulated["features"])
+            targets[:n] = np.asarray(accumulated["targets"])
+            # pad with copies of row 0 so padded rows don't perturb the loss scale
+            feats[n:] = feats[0]
+            targets[n:] = targets[0]
         return {"features": feats, "targets": targets}
 
     def compute_accuracy(self, data, params, module) -> float:
