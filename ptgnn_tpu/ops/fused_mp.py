@@ -36,10 +36,10 @@ Constraints (callers fall back to the plain path otherwise):
 * every edge's transpose present (``introduce_backwards_edges=True``);
 * the edge mask is the batch's static mask (no runtime edge dropout).
 
-Message-input dropout is supported via a pair-symmetric counter-based hash
-(mask keyed on the canonical (u, v, fwd-type) identity), so the transpose
-recompute sees the identical mask. This differs from the reference's
-position-keyed iid dropout only in that an edge and its reverse share masks.
+Message-input dropout is keyed on the DIRECTED (src, dst, type) identity:
+iid per directed edge (matching the reference's per-position iid semantics
+up to duplicate parallel edges, which share masks), and reconstructible in
+the transpose orientation from the carrier's own endpoints.
 """
 from __future__ import annotations
 
@@ -68,26 +68,30 @@ def _hash_u32(x: jax.Array) -> jax.Array:
     return x
 
 
-def _canonical_edge_key(adj) -> jax.Array:
-    """[E] uint32 key identical for an edge and its transpose."""
-    tile = adj.edge_tile
-    t = adj.edge_types
-    t_trans = jnp.repeat(adj.tile_types_transposed, tile)
-    is_fwd = t <= t_trans  # fwd types have smaller ids; self maps to itself
-    u = jnp.where(is_fwd, adj.senders, adj.receivers).astype(jnp.uint32)
-    v = jnp.where(is_fwd, adj.receivers, adj.senders).astype(jnp.uint32)
-    t_fwd = jnp.minimum(t, t_trans).astype(jnp.uint32)
+def _directed_edge_key(src, dst, edge_type) -> jax.Array:
+    """[E] uint32 key of a DIRECTED typed edge (u -> v, t).
+
+    The dropout mask is keyed on this identity, making it iid per directed
+    edge (the reference's per-position iid semantics up to duplicate
+    (u, v, t) edges, which share masks). Crucially the key is computable in
+    BOTH orientations: when slot e\' = (v -> u, t\') acts as the transpose
+    carrier of pair e = (u -> v, tau(t\')), e\'s own endpoints give
+    (e\'.receiver, e\'.sender, tau(t\')) == e\'s key — so the scatter-free
+    backward reconstructs exactly the mask the pair used in forward."""
+    u = src.astype(jnp.uint32)
+    v = dst.astype(jnp.uint32)
+    t = edge_type.astype(jnp.uint32)
     return _hash_u32(
         _hash_u32(u * jnp.uint32(2654435761))
         ^ _hash_u32(v * jnp.uint32(2246822519))
-        ^ _hash_u32(t_fwd * jnp.uint32(3266489917))
+        ^ _hash_u32(t * jnp.uint32(3266489917))
     )
 
 
-def _sym_dropout_mask(
+def _keyed_dropout_mask(
     seed: jax.Array, edge_key: jax.Array, num_cols: int, rate: float
 ) -> jax.Array:
-    """[E, num_cols] keep mask from the pair-symmetric edge key."""
+    """[E, num_cols] keep mask from the directed edge key."""
     col = jnp.arange(num_cols, dtype=jnp.uint32)[None, :]
     h = _hash_u32((edge_key[:, None] ^ seed) + col * jnp.uint32(0x9E3779B9))
     threshold = jnp.uint32(int(rate * 0xFFFFFFFF))
@@ -114,7 +118,7 @@ def _forward_parts(
     if drop_mask is not None:
         keep = drop_mask[2]
         inp = jnp.where(
-            _sym_dropout_mask(drop_mask[0], drop_mask[1], inp.shape[1], 1.0 - keep),
+            _keyed_dropout_mask(drop_mask[0], drop_mask[1], inp.shape[1], 1.0 - keep),
             inp / jnp.asarray(keep, inp.dtype),
             jnp.zeros((), inp.dtype),
         )
@@ -155,7 +159,8 @@ def _fused_fwd_impl(
     adj, seed = adj_and_rng
     drop = None
     if dropout_keep < 1.0:
-        drop = (seed, _canonical_edge_key(adj), dropout_keep)
+        key_fwd = _directed_edge_key(adj.senders, adj.receivers, adj.edge_types)
+        drop = (seed, key_fwd, dropout_keep)
     _, msgs = _forward_parts(
         node_states, weight_stack, (adj.senders, adj.receivers),
         use_target_state=use_target_state, drop_mask=drop, tile_types=adj.tile_types,
@@ -201,10 +206,14 @@ def _fused_bwd(num_nodes, reduction, use_target_state, dropout_keep, res, g):
     is_extremum = reduction in ("max", "min")
 
     drop = None
-    edge_key = None
+    drop_tr = None
     if dropout_keep < 1.0:
-        edge_key = _canonical_edge_key(adj)
-        drop = (seed, edge_key, dropout_keep)
+        key_fwd = _directed_edge_key(adj.senders, adj.receivers, adj.edge_types)
+        tau = jnp.repeat(adj.tile_types_transposed, adj.edge_tile)
+        # this slot's PAIR identity, reconstructed from its own endpoints
+        key_tr = _directed_edge_key(adj.receivers, adj.senders, tau)
+        drop = (seed, key_fwd, dropout_keep)
+        drop_tr = (seed, key_tr, dropout_keep)
 
     counts_flat = None
     if reduction == "mean":
@@ -278,7 +287,7 @@ def _fused_bwd(num_nodes, reduction, use_target_state, dropout_keep, res, g):
             # orientation and compare against the aggregated extremum at v
             _, msgs_tr = _forward_parts(
                 node_states, weight_stack, (adj.receivers, adj.senders),
-                use_target_state=use_target_state, drop_mask=drop,
+                use_target_state=use_target_state, drop_mask=drop_tr,
                 tile_types=adj.tile_types_transposed,
             )
             out_f = out.astype(jnp.float32)
@@ -315,12 +324,12 @@ def _fused_bwd(num_nodes, reduction, use_target_state, dropout_keep, res, g):
     # d msg_input (primary orientation), for the target part.
     w_t = jnp.swapaxes(weight_stack, 1, 2)  # [T, M, Din]
 
-    def apply_dropout_bwd(x):
-        if drop is None:
+    def apply_dropout_bwd(x, dm):
+        if dm is None:
             return x
         keep = dropout_keep
         return jnp.where(
-            _sym_dropout_mask(seed, edge_key, x.shape[1], 1.0 - keep),
+            _keyed_dropout_mask(dm[0], dm[1], x.shape[1], 1.0 - keep),
             x / jnp.asarray(keep, x.dtype),
             jnp.zeros((), x.dtype),
         )
@@ -328,14 +337,16 @@ def _fused_bwd(num_nodes, reduction, use_target_state, dropout_keep, res, g):
     target_cotangent = None
     if use_target_state:
         d_inp = apply_dropout_bwd(
-            typed_tile_matmul(d_msgs, w_t, adj.tile_types, tile)
+            typed_tile_matmul(d_msgs, w_t, adj.tile_types, tile), drop
         )
         target_cotangent = d_inp[:, d:]
 
     # ---- transpose orientation: sender part, no recompute of messages ----
+    # The cotangent flows into the PAIR edge's (dropped-out) input, so its
+    # mask is the pair's — the transpose-orientation key.
     d_msgs_tr = route_transpose()
     d_inp_tr = apply_dropout_bwd(
-        typed_tile_matmul(d_msgs_tr, w_t, adj.tile_types_transposed, tile)
+        typed_tile_matmul(d_msgs_tr, w_t, adj.tile_types_transposed, tile), drop_tr
     )
 
     # One kernel call aggregates both the target-side and (transpose-derived)

@@ -25,6 +25,8 @@ Partial-aggregate semantics across shards:
 """
 from __future__ import annotations
 
+import functools
+
 from typing import Any, Dict, Optional
 
 import jax
@@ -112,13 +114,39 @@ def sharded_aggregate(
         # the neutral so they lose the cross-shard combine
         cnt_l = segment_count(local_adj.receivers, num_nodes, mask)
         local = jnp.where(cnt_l[:, None] > 0, local, jnp.float32(neutral))
-        # pmax/pmin have no VJP; all_gather + reduce is differentiable and
-        # moves the same volume over ICI.
-        gathered = jax.lax.all_gather(local, axis_name)  # [S, N, D]
-        total = jnp.max(gathered, axis=0) if is_max else jnp.min(gathered, axis=0)
+        total = _allreduce_extremum(local, axis_name, is_max)
         cnt = jax.lax.psum(cnt_l, axis_name)
         return jnp.where(cnt[:, None] > 0, total, 0.0).astype(messages.dtype)
     raise ValueError(f"Unknown reduction '{reduction}'")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _allreduce_extremum(local, axis_name: str, is_max: bool):
+    """Differentiable pmax/pmin over a mesh axis.
+
+    Streams one [N, D] reduction over ICI instead of materializing the
+    all_gather's [num_shards, N, D] activation. Backward tie-splits the
+    (replicated) cotangent among the shards holding the extremum — the same
+    semantics as the single-device segment extremum VJP."""
+    return jax.lax.pmax(local, axis_name) if is_max else jax.lax.pmin(local, axis_name)
+
+
+def _allreduce_extremum_fwd(local, axis_name, is_max):
+    total = _allreduce_extremum(local, axis_name, is_max)
+    return total, (local, total)
+
+
+def _allreduce_extremum_bwd(axis_name, is_max, res, g):
+    local, total = res
+    winner = (local == total).astype(jnp.float32)
+    ties = jax.lax.psum(winner, axis_name)
+    # The output is replicated; every shard's downstream use contributes a
+    # cotangent, so the true d(local) sums them before tie-splitting.
+    g_total = jax.lax.psum(g, axis_name)
+    return (winner * g_total / jnp.maximum(ties, 1.0),)
+
+
+_allreduce_extremum.defvjp(_allreduce_extremum_fwd, _allreduce_extremum_bwd)
 
 
 class EdgeParallel:

@@ -97,33 +97,70 @@ def test_fused_matches_fallback_values_and_grads(agg, layer_kind, monkeypatch):
         np.testing.assert_allclose(np.asarray(pf), np.asarray(pr), rtol=1e-4, atol=1e-5)
 
 
-def test_fused_dropout_is_pair_symmetric_and_trains():
-    """With dropout on, forward must be finite and gradients flow; the mask
-    must be identical for an edge and its transpose (checked via the hash)."""
-    from ptgnn_tpu.ops.fused_mp import _canonical_edge_key
+def test_fused_dropout_is_iid_and_grads_match_explicit_mask():
+    """Dropout is keyed on the DIRECTED (src, dst, type) edge identity: the
+    mask differs between an edge and its transpose (iid), yet the fused
+    scatter-free backward must reconstruct each pair's mask exactly. The
+    oracle applies the same hash masks explicitly with plain XLA ops."""
+    from ptgnn_tpu.ops.fused_mp import (
+        _directed_edge_key,
+        _keyed_dropout_mask,
+        fused_typed_message_aggregation,
+    )
+    from ptgnn_tpu.ops.segment import segment_sum
 
     b, ctx, states = build_batch(seed=3)
     adj = ctx.adjacency
-    key = np.asarray(_canonical_edge_key(adj))
-    mask = np.asarray(adj.mask)
-    senders = np.asarray(adj.senders)
-    receivers = np.asarray(adj.receivers)
-    types = np.asarray(adj.edge_types)
-    # every real fwd edge (u,v,t<2) must share its key with some (v,u,t+2)
-    fwd = mask & (types < 2)
-    key_of = {}
-    for i in np.nonzero(mask & (types >= 2) & (types < 4))[0]:
-        key_of[(senders[i], receivers[i], types[i] - 2)] = key[i]
-    matched = 0
-    for i in np.nonzero(fwd)[0]:
-        k = key_of.get((receivers[i], senders[i], types[i]))
-        if k is not None:
-            assert k == key[i]
-            matched += 1
-    assert matched > 0
+    D = states.shape[1]
+    T = b.num_edge_types
+    rng = np.random.RandomState(1)
+    weights = jnp.asarray(rng.randn(T, 2 * D, D).astype(np.float32) * 0.1)
+    seed = jnp.uint32(1234567)
+    keep = 0.7
 
+    # masks differ between a fwd edge and its transpose (iid check)
+    key_fwd = np.asarray(_directed_edge_key(adj.senders, adj.receivers, adj.edge_types))
+    mask_np = np.asarray(adj.mask)
+    senders, receivers = np.asarray(adj.senders), np.asarray(adj.receivers)
+    types = np.asarray(adj.edge_types)
+    fwd_keys = {}
+    for i in np.nonzero(mask_np & (types < 2))[0]:
+        fwd_keys[(senders[i], receivers[i], types[i])] = key_fwd[i]
+    diffs = 0
+    for i in np.nonzero(mask_np & (types >= 2) & (types < 4))[0]:
+        k = fwd_keys.get((receivers[i], senders[i], types[i] - 2))
+        if k is not None and (senders[i], receivers[i]) != (receivers[i], senders[i]):
+            diffs += int(k != key_fwd[i])
+    assert diffs > 0, "transpose edges should have their own masks"
+
+    def fused_loss(x):
+        out = fused_typed_message_aggregation(
+            x, weights, (adj, seed), x.shape[0], "sum", True, keep
+        )
+        return jnp.sum(out ** 2)
+
+    def oracle_loss(x):
+        src = jnp.take(x, jnp.minimum(adj.senders, x.shape[0] - 1), axis=0)
+        tgt = jnp.take(x, jnp.minimum(adj.receivers, x.shape[0] - 1), axis=0)
+        inp = jnp.concatenate([src, tgt], axis=-1)
+        m = _keyed_dropout_mask(
+            seed, _directed_edge_key(adj.senders, adj.receivers, adj.edge_types),
+            inp.shape[1], 1.0 - keep,
+        )
+        inp = jnp.where(m, inp / keep, 0.0)
+        w_e = jnp.take(weights, adj.edge_types, axis=0)  # [E, 2D, D]
+        msgs = jnp.einsum("ed,edm->em", inp, w_e)
+        out = segment_sum(msgs, adj.receivers, x.shape[0], mask=adj.mask)
+        return jnp.sum(out ** 2)
+
+    l_f, g_f = jax.value_and_grad(fused_loss)(states)
+    l_o, g_o = jax.value_and_grad(oracle_loss)(states)
+    np.testing.assert_allclose(float(l_f), float(l_o), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_o), rtol=1e-3, atol=1e-4)
+
+    # and the layer still trains with dropout on
     layer = GatedMessagePassingLayer(
-        state_dimension=16, message_dimension=16, num_edge_types=b.num_edge_types,
+        state_dimension=D, message_dimension=D, num_edge_types=T,
         message_aggregation_function="sum", dropout_rate=0.3,
     )
     params = layer.init(jax.random.PRNGKey(0))
@@ -136,3 +173,4 @@ def test_fused_dropout_is_pair_symmetric_and_trains():
     assert np.isfinite(float(l))
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.sum(jnp.abs(g))) > 0
+
