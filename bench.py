@@ -36,6 +36,7 @@ def main() -> None:
     parser.add_argument("--edge-slots-per-node", type=float, default=6)
     parser.add_argument("--edge-tile", type=int, default=128)
     parser.add_argument("--agg-rows", type=int, default=256)
+    parser.add_argument("--agg-sum-tile", type=int, default=512)
     args = parser.parse_args()
 
     import jax
@@ -54,6 +55,7 @@ def main() -> None:
         max_graphs=max(8, max_nodes // 1024),
         edge_tile=args.edge_tile,
         agg_rows=args.agg_rows,
+        agg_sum_tile=args.agg_sum_tile,
         reference_budgets=(
             ("supernodes", max(512, max_nodes // 16)),
             ("token-sequence", max_nodes),
@@ -133,14 +135,16 @@ def main() -> None:
         total_edges += e
         total_nodes += n
         total_graphs += g
-    jax.block_until_ready(loss)
+    # block_until_ready is a no-op through the axon tunnel; only a D2H read
+    # synchronizes, so the loss read must happen BEFORE taking the time.
+    final_loss = float(loss)
     elapsed = time.time() - t0
 
     edges_per_sec = total_edges / elapsed
     log(
         f"{args.steps} steps in {elapsed:.2f}s: "
         f"{edges_per_sec/1e3:.0f}k edges/s, {total_nodes/elapsed/1e3:.0f}k nodes/s, "
-        f"{total_graphs/elapsed:.1f} graphs/s (loss {float(loss):.4f})"
+        f"{total_graphs/elapsed:.1f} graphs/s (loss {final_loss:.4f})"
     )
 
     # Inference throughput (reference test numbers: ~2,527k edges/s on V100).
