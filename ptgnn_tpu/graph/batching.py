@@ -391,6 +391,12 @@ class GraphBatcher:
             if bool(np.all(grouped == grouped[:, :1])):
                 super_tile_row_blocks = np.ascontiguousarray(grouped[:, 0])
 
+        def rows_row(granularity: int):
+            n = e_pad // granularity
+            return np.repeat(
+                local_rows.reshape(n, granularity), 8, axis=0
+            ).reshape(n * 8, granularity)
+
         adjacency = AdjacencyStruct(
             senders=senders,
             receivers=receivers,
@@ -399,6 +405,10 @@ class GraphBatcher:
             mask=edge_mask,
             tile_types_transposed=tile_types_transposed,
             local_rows=local_rows.reshape(e_pad, 1),
+            local_rows_row=rows_row(tile),
+            local_rows_row_super=(
+                rows_row(align) if super_tile_row_blocks is not None else None
+            ),
             tile_row_blocks=tile_row_blocks,
             agg_counts=counts,
             super_tile_row_blocks=super_tile_row_blocks,

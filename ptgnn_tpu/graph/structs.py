@@ -151,6 +151,10 @@ class AdjacencyStruct(NamedTuple):
     mask: Any  # [E_pad] bool
     tile_types_transposed: Any = None  # [n_tiles] int32 type of each tile's transpose
     local_rows: Any = None  # [E_pad, 1] int32 receiver - block*R (padding: R)
+    local_rows_row: Any = None  # [n_tiles * 8, edge_tile] int32 (sublane-replicated)
+    # [n_super * 8, agg_sum_tile] int32: same rows in supertile blocks for
+    # the sum kernel (host-built; deriving it in-trace hangs Mosaic here)
+    local_rows_row_super: Any = None
     tile_row_blocks: Any = None  # [n_tiles] int32 (single row block per tile)
     agg_counts: Any = None  # [num_row_blocks, R] int32 in-degrees
     # [n_super] int32, one row block per SUPERTILE of agg_sum_tile edges

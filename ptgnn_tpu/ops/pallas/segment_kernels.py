@@ -414,26 +414,14 @@ def planned_segment_reduce(
     return out.astype(orig_dtype)
 
 
-def _rows_row_view(local_rows, num_tiles: int):
-    """[E_pad, 1] column rows -> [num_tiles * 8, tile] sublane-replicated row
-    orientation (what the kernels' (8, tile) one-hot blocks read). Built
-    inside the trace — 1/8th the host->device traffic of shipping it, and
-    XLA CSEs the repeat across a step's kernel calls."""
-    e_pad = local_rows.shape[0]
-    tile = e_pad // num_tiles
-    rows_2d = local_rows.reshape(num_tiles, tile)
-    return jnp.repeat(rows_2d, 8, axis=0)
-
-
 def plan_from_adjacency(adj) -> AggregationPlan:
     """View an AdjacencyStruct's precomputed layout (graph/batching.py) as an
     identity-order AggregationPlan at EDGE-TILE granularity (the layout's
     type-pure, receiver-sorted tiles — required by the extremum kernels)."""
-    num_tiles = adj.tile_row_blocks.shape[0]
     return AggregationPlan(
         perm=None,
         local_rows=adj.local_rows,
-        local_rows_row=_rows_row_view(adj.local_rows, num_tiles),
+        local_rows_row=adj.local_rows_row,
         tile_row_blocks=adj.tile_row_blocks,
         counts=adj.agg_counts,
     )
@@ -445,13 +433,12 @@ def sum_plan_from_adjacency(adj) -> AggregationPlan:
     receiver sortedness inside a tile — the one-hot matmul routes arbitrary
     rows — so the sum kernel walks agg_sum_tile-edge tiles (fewer grid
     steps). Falls back to the edge-tile plan when unaligned."""
-    if adj.super_tile_row_blocks is None:
+    if adj.super_tile_row_blocks is None or adj.local_rows_row_super is None:
         return plan_from_adjacency(adj)
-    n_super = adj.super_tile_row_blocks.shape[0]
     return AggregationPlan(
         perm=None,
         local_rows=adj.local_rows,
-        local_rows_row=_rows_row_view(adj.local_rows, n_super),
+        local_rows_row=adj.local_rows_row_super,
         tile_row_blocks=adj.super_tile_row_blocks,
         counts=adj.agg_counts,
     )

@@ -68,6 +68,12 @@ def shard_adjacency(adj: AdjacencyStruct, num_shards: int):
         local_rows=None if adj.local_rows is None else adj.local_rows.reshape(
             num_shards, per, 1
         ),
+        local_rows_row=None
+        if adj.local_rows_row is None
+        else adj.local_rows_row.reshape(num_shards, tiles_per * 8, tile),
+        # super rows_row sharding would need supertile-aligned cuts; shards
+        # fall back to the edge-tile plan (sharded aggregate uses XLA ops).
+        local_rows_row_super=None,
         tile_row_blocks=split_tiles(adj.tile_row_blocks),
         super_tile_row_blocks=(
             adj.super_tile_row_blocks.reshape(num_shards, -1)

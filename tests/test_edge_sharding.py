@@ -74,7 +74,8 @@ def test_sharded_aggregate_matches_single_device(reduction):
             senders=P("edge"), receivers=P("edge"), edge_types=P("edge"),
             tile_types=P("edge"), mask=P("edge"),
             tile_types_transposed=P("edge") if sharded.tile_types_transposed is not None else None,
-            local_rows=P("edge"),
+            local_rows=P("edge"), local_rows_row=P("edge"),
+            local_rows_row_super=None,
             tile_row_blocks=P("edge"), agg_counts=P(),
             super_tile_row_blocks=P("edge") if sharded.super_tile_row_blocks is not None else None,
             edge_feature_slot=P("edge") if sharded.edge_feature_slot is not None else None,
