@@ -25,7 +25,10 @@ def main() -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.distributed.initialize(
+
+    from ptgnn_tpu.parallel.distributed_trainer import initialize_multi_host
+
+    initialize_multi_host(
         coordinator_address=coordinator, num_processes=nproc, process_id=pid
     )
     assert jax.process_count() == nproc
