@@ -68,3 +68,31 @@ def test_typilus_train_cli_end_to_end():
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert model_path.exists()
     assert "Test accuracy:" in proc.stdout
+
+
+def test_graph2seq_trainandtest_cli_end_to_end():
+    """Drive the graph2seq train+test CLI through real argv + jsonl.gz files,
+    exercising the eval path (greedy decode + exact-match/F1/Jaro-Winkler)."""
+    from ptgnn_tpu.utils.synthetic import synthetic_graph2seq_samples
+
+    tmp = Path(tempfile.mkdtemp())
+    for fold, n, seed in (("train", 24, 1), ("valid", 8, 2), ("test", 8, 3)):
+        write_jsonl_gz(
+            tmp / f"{fold}.jsonl.gz",
+            synthetic_graph2seq_samples(n, seed=seed, mean_nodes=30, max_nodes=60),
+        )
+    model_path = tmp / "model.pkl.gz"
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "ptgnn_tpu.implementations.graph2seq.trainandtest",
+            str(tmp / "train.jsonl.gz"), str(tmp / "valid.jsonl.gz"),
+            str(model_path), str(tmp / "test.jsonl.gz"),
+            "--max-num-epochs", "1", "--minibatch-size", "8",
+            "--max-nodes", "512", "--sequential-run", "--quiet",
+        ],
+        capture_output=True, text=True, timeout=600,
+        cwd=str(Path(__file__).parent.parent), env=cpu_env(),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert model_path.exists()
+    assert "Test metrics:" in proc.stdout and "jaro_winkler" in proc.stdout
