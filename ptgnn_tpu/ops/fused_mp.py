@@ -202,7 +202,14 @@ def _fused_fwd(
 def _fused_bwd(num_nodes, reduction, use_target_state, dropout_keep, res, g):
     node_states, weight_stack, (adj, seed), out, args = res
     n, d = node_states.shape
-    g = g.astype(jnp.float32)
+    # Backward runs in the forward's compute dtype: under bf16 AMP the
+    # cotangent kernels take the single-pass bf16 matmul path (the f32 path
+    # needs 6 HIGHEST passes and 2x the HBM traffic); tie indicators are
+    # 0/1 (bf16-exact) and accumulation stays f32 inside the kernels.
+    compute_dtype = (
+        jnp.bfloat16 if node_states.dtype == jnp.bfloat16 else jnp.float32
+    )
+    g = g.astype(compute_dtype)
     is_extremum = reduction in ("max", "min")
 
     drop = None
@@ -223,10 +230,11 @@ def _fused_bwd(num_nodes, reduction, use_target_state, dropout_keep, res, g):
     tile = adj.edge_tile
 
     ties = None
+    inp_p = None  # primary-orientation dropped-out input, reused by dW
     if is_extremum and args is None:
         # value-based tie-splitting: one indicator pass over the primary
         # orientation (shared by both routing directions)
-        _, _msgs_p = _forward_parts(
+        inp_p, _msgs_p = _forward_parts(
             node_states, weight_stack, (adj.senders, adj.receivers),
             use_target_state=use_target_state, drop_mask=drop,
             tile_types=adj.tile_types,
@@ -235,7 +243,7 @@ def _fused_bwd(num_nodes, reduction, use_target_state, dropout_keep, res, g):
         _out_e = jnp.take(_out_f, adj.receivers, axis=0, mode="fill", fill_value=_BIG)
         _indicator_p = jnp.logical_and(
             _msgs_p.astype(jnp.float32) == _out_e, adj.mask[:, None]
-        ).astype(jnp.float32)
+        ).astype(compute_dtype)
         ties = adjacency_segment_reduce(
             _indicator_p, adj, num_nodes, "sum", mask=adj.mask
         )
@@ -247,17 +255,17 @@ def _fused_bwd(num_nodes, reduction, use_target_state, dropout_keep, res, g):
             d_msgs = g_e
         elif reduction == "mean":
             cnt = jnp.take(counts_flat, adj.receivers, mode="fill", fill_value=1.0)
-            d_msgs = g_e / jnp.maximum(cnt, 1.0)[:, None]
+            d_msgs = g_e / jnp.maximum(cnt, 1.0)[:, None].astype(g_e.dtype)
         elif args is not None:
             # single-winner argmax routing (torch-scatter semantics)
             arg_e = jnp.take(args, adj.receivers, axis=0, mode="fill", fill_value=-2)
             slots = jnp.arange(e_pad, dtype=jnp.int32)[:, None]
-            d_msgs = (slots == arg_e).astype(jnp.float32) * g_e
+            d_msgs = (slots == arg_e).astype(g_e.dtype) * g_e
         else:
             # value-based tie-splitting (jax segment_max semantics)
             ties_e = jnp.take(ties, adj.receivers, axis=0, mode="fill", fill_value=1.0)
             d_msgs = _indicator_p * g_e / jnp.maximum(ties_e, 1.0)
-        return jnp.where(adj.mask[:, None], d_msgs, 0.0)
+        return jnp.where(adj.mask[:, None], d_msgs, jnp.zeros((), d_msgs.dtype))
 
     def route_transpose():
         """Cotangent of each slot's PAIR edge, from per-node arrays gathered
@@ -267,7 +275,7 @@ def _fused_bwd(num_nodes, reduction, use_target_state, dropout_keep, res, g):
             d_msgs = g_e
         elif reduction == "mean":
             cnt = jnp.take(counts_flat, adj.senders, mode="fill", fill_value=1.0)
-            d_msgs = g_e / jnp.maximum(cnt, 1.0)[:, None]
+            d_msgs = g_e / jnp.maximum(cnt, 1.0)[:, None].astype(g_e.dtype)
         elif args is not None:
             # the pair edge e = (u -> v, tau) wins at v=senders iff the
             # winning slot's (pair id, type) matches this slot's
@@ -280,7 +288,7 @@ def _fused_bwd(num_nodes, reduction, use_target_state, dropout_keep, res, g):
             tau = jnp.repeat(adj.tile_types_transposed, tile)
             indicator = jnp.logical_and(
                 pair[:, None] == poa_e, tau[:, None] == toa_e
-            ).astype(jnp.float32)
+            ).astype(g_e.dtype)
             d_msgs = indicator * g_e
         else:
             # value-based: recompute the pair's message in transpose
@@ -294,24 +302,28 @@ def _fused_bwd(num_nodes, reduction, use_target_state, dropout_keep, res, g):
             out_v = jnp.take(out_f, adj.senders, axis=0, mode="fill", fill_value=_BIG)
             indicator = jnp.logical_and(
                 msgs_tr.astype(jnp.float32) == out_v, adj.mask[:, None]
-            ).astype(jnp.float32)
+            ).astype(g_e.dtype)
             ties_e = jnp.take(ties, adj.senders, axis=0, mode="fill", fill_value=1.0)
             d_msgs = indicator * g_e / jnp.maximum(ties_e, 1.0)
-        return jnp.where(adj.mask[:, None], d_msgs, 0.0)
+        return jnp.where(adj.mask[:, None], d_msgs, jnp.zeros((), d_msgs.dtype))
 
     d_msgs = route_primary()
 
     # dW: per-tile inp^T @ d_msgs, segment-summed by tile type (inputs are
-    # recomputed by gathers; messages are never rematerialized).
-    inp, _ = _forward_parts(
-        node_states, weight_stack, (adj.senders, adj.receivers),
-        use_target_state=use_target_state, drop_mask=drop,
-        tile_types=adj.tile_types, compute_messages=False,
-    )
+    # recomputed by gathers — except in the extremum case, where the tie
+    # pass already gathered them; messages are never rematerialized).
+    if inp_p is not None:
+        inp = inp_p
+    else:
+        inp, _ = _forward_parts(
+            node_states, weight_stack, (adj.senders, adj.receivers),
+            use_target_state=use_target_state, drop_mask=drop,
+            tile_types=adj.tile_types, compute_messages=False,
+        )
     n_tiles = adj.tile_types.shape[0]
     din = inp.shape[1]
     m = d_msgs.shape[1]
-    inp_t = inp.astype(jnp.float32).reshape(n_tiles, tile, din)
+    inp_t = inp.astype(compute_dtype).reshape(n_tiles, tile, din)
     dm_t = d_msgs.reshape(n_tiles, tile, m)
     per_tile_dw = jax.lax.dot_general(
         inp_t, dm_t, dimension_numbers=(((1,), (1,)), ((0,), (0,))),

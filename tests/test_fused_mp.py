@@ -97,6 +97,45 @@ def test_fused_matches_fallback_values_and_grads(agg, layer_kind, monkeypatch):
         np.testing.assert_allclose(np.asarray(pf), np.asarray(pr), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("agg", ["sum", "mean", "max"])
+def test_fused_bf16_backward_matches_fallback_bf16(agg):
+    """Under bf16 AMP the fused backward keeps the cotangent kernels in
+    bf16 (single-pass one-hot matmuls). The oracle is the PLAIN path on the
+    SAME bf16 inputs: forward values are identical, so extremum routing and
+    tie-splitting decisions coincide, and the only residual differences are
+    bf16 accumulation order (an f32 oracle would differ structurally
+    wherever bf16 rounding changes which edge attains the max)."""
+    b, ctx, states = build_batch(seed=5)
+    D = states.shape[1]
+    layer = MlpMessagePassingLayer(
+        input_state_dimension=D, output_state_dimension=D, message_dimension=D,
+        num_edge_types=b.num_edge_types, message_aggregation_function=agg,
+    )
+    params = layer.init(jax.random.PRNGKey(0))
+    p16 = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    s16 = states.astype(jnp.bfloat16)
+
+    def loss(params, states, fused):
+        os.environ["PTGNN_TPU_FORCE_PALLAS_AGG"] = "1" if fused else "0"
+        out = layer.apply(params, states, ctx).astype(jnp.float32)
+        return jnp.sum(jnp.where(ctx.node_mask[:, None], out, 0.0) ** 2)
+
+    gp_fast, gs_fast = jax.grad(loss, argnums=(0, 1))(p16, s16, True)
+    gp_ref, gs_ref = jax.grad(loss, argnums=(0, 1))(p16, s16, False)
+    assert gs_fast.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(gs_fast, np.float32), np.asarray(gs_ref, np.float32),
+        rtol=0.06, atol=0.06,
+    )
+    for pf, pr in zip(
+        jax.tree_util.tree_leaves(gp_fast), jax.tree_util.tree_leaves(gp_ref)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(pf, np.float32), np.asarray(pr, np.float32),
+            rtol=0.06, atol=0.06,
+        )
+
+
 def test_fused_dropout_is_iid_and_grads_match_explicit_mask():
     """Dropout is keyed on the DIRECTED (src, dst, type) edge identity: the
     mask differs between an edge and its transpose (iid), yet the fused
