@@ -187,6 +187,18 @@ def _sum_kernel(tile_rb_ref, rows_row_ref, data_ref, out_ref):
         out_ref[:] = out_ref[:] + contrib
 
 
+def _use_bf16_selection() -> bool:
+    # DISABLED: single-pass bf16 selection (exact for one-hot selection of
+    # bf16-valued run extrema) hangs Mosaic at compile on v5e through this
+    # toolchain — observed 2026-08-17 as a frozen server-side compile (host
+    # CPU idle, never returns; chip wedged until the watchdog clears it).
+    # Correct under the interpreter (test_planned_reduce_bf16_exact with the
+    # flag set). Retry on a newer jax/Mosaic.
+    import os
+
+    return bool(os.environ.get("PTGNN_TPU_EXT_BF16_SEL"))
+
+
 def _extremum_kernel(
     tile_rb_ref, local_rows_ref, rows_row_ref, data_ref, out_ref, *, is_max: bool
 ):
@@ -221,16 +233,29 @@ def _extremum_kernel(
     markf = mark.astype(jnp.float32)
     marked = jnp.concatenate([jnp.where(mark, v, 0.0), markf], axis=1)  # [tile, D+1]
 
+    # bf16 inputs: every marked value is a run extremum of bf16 data (max/
+    # select only, no arithmetic), so it is bf16-exact and the selection
+    # matmul could run as ONE default-precision bf16 MXU pass with f32
+    # accumulation — the same dtype/precision combo as the sum kernel. On
+    # this v5e toolchain that variant HANGS Mosaic at compile (the third
+    # extremum-matmul dtype change to do so; see ROUND_NOTES.md), so it is
+    # gated off; f32 HIGHEST (6 passes, exact) is the production path.
+    if data_ref.dtype == jnp.bfloat16 and _use_bf16_selection():
+        marked = marked.astype(jnp.bfloat16)
+        sel_precision = jax.lax.Precision.DEFAULT
+    else:
+        sel_precision = jax.lax.Precision.HIGHEST
+
     onehot_t = (
         jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0) == rows_row_ref[0:1, :]
-    ).astype(jnp.float32)  # [R, agg_tile]
+    ).astype(marked.dtype)  # [R, agg_tile]
 
     sel = jax.lax.dot_general(
         onehot_t,
         marked,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,  # exact f32 selection
+        precision=sel_precision,
     )  # [R, D+1]; last column = presence count (0 or 1)
     contrib = sel[:, :-1]
     present = sel[:, -1:] > 0

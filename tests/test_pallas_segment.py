@@ -213,3 +213,49 @@ def test_adjacency_reduce_with_supertiles_matches_reference(reduction):
         ref_fn(jnp.asarray(data), adj.receivers, pad.max_nodes, mask=adj.mask)
     )
     np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("reduction", ["max", "min", "sum"])
+def test_planned_reduce_bf16_exact(reduction, monkeypatch):
+    """bf16 data through the extremum kernel (with the gated single-pass
+    bf16 selection enabled — interpreter-only; it hangs Mosaic on v5e) and
+    the bf16 sum path; selection of bf16-exact run extrema must match the
+    XLA reference BITWISE on the same bf16 inputs — including all-masked
+    runs (degenerate magnitudes -> 0) and empty segments."""
+    if jax.default_backend() == "tpu":
+        pytest.skip("bf16 selection matmul hangs Mosaic on v5e (gated off)")
+    monkeypatch.setenv("PTGNN_TPU_EXT_BF16_SEL", "1")
+    rng = np.random.RandomState(11)
+    N, D, R, tile = 48, 32, 16, 64
+    # node 7 heavy (multi-tile run), nodes 40.. empty, plus a node whose
+    # every edge is masked (all-masked run -> torch-scatter fill 0)
+    receivers = np.concatenate(
+        [np.full(150, 7), rng.randint(0, 38, 120), np.full(9, 39)]
+    ).astype(np.int32)
+    mask = np.ones(len(receivers), bool)
+    mask[-9:] = False  # node 39: only masked edges
+    data = rng.randn(len(receivers), D).astype(np.float32)
+    data_bf16 = jnp.asarray(data).astype(jnp.bfloat16)
+    plan = jax.tree_util.tree_map(
+        jnp.asarray,
+        sk.build_aggregation_plan(
+            receivers, mask, N, R, tile,
+            num_tiles=sk.plan_num_tiles(len(receivers), N, R, tile),
+        ),
+    )
+    out = np.asarray(
+        sk.planned_segment_reduce(
+            data_bf16, jnp.asarray(receivers), plan, N, reduction, jnp.asarray(mask)
+        ).astype(jnp.float32)
+    )
+    ref_fn = {"sum": segment_sum, "max": segment_max, "min": segment_min}[reduction]
+    expected = np.asarray(
+        ref_fn(data_bf16, jnp.asarray(receivers), N, mask=jnp.asarray(mask)).astype(
+            jnp.float32
+        )
+    )
+    if reduction == "sum":
+        np.testing.assert_allclose(out, expected, rtol=2e-2, atol=2e-2)  # order
+    else:
+        np.testing.assert_array_equal(out, expected)  # pure selection: exact
+    assert np.allclose(out[39], 0.0) and np.allclose(out[40:], 0.0)
