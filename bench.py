@@ -40,7 +40,6 @@ def main() -> None:
     args = parser.parse_args()
 
     import jax
-    import numpy as np
     import optax
 
     from ptgnn_tpu.graph.structs import BatchPadding

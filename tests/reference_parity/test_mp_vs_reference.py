@@ -15,7 +15,6 @@ import re
 import numpy as np
 import pytest
 import torch
-import jax
 import jax.numpy as jnp
 
 from tests.reference_parity.shims import install_reference_shims
@@ -51,7 +50,6 @@ from ptgnn.neuralmodels.reduceops.varsizedsummary import (  # noqa: E402
 from ptgnn_tpu.graph.messagepassing import (
     EGCMessagePassingLayer,
     GatedMessagePassingLayer,
-    GraphContext,
     GraphNorm,
     GruGlobalStateUpdate,
     MlpMessagePassingLayer,

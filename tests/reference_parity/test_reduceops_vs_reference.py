@@ -4,7 +4,6 @@
 import numpy as np
 import pytest
 import torch
-import jax.numpy as jnp
 
 from tests.reference_parity.shims import install_reference_shims
 

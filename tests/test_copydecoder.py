@@ -8,7 +8,6 @@ the dense padded copy matrix — identical math, different layout.
 import math
 
 import numpy as np
-import pytest
 import torch
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,6 @@ from pathlib import Path
 import jax
 import numpy as np
 import optax
-import pytest
 
 from ptgnn_tpu.core.data import LazyDataIterable
 from ptgnn_tpu.implementations.typilus.train import create_graph2class_gnn_model

@@ -5,7 +5,7 @@ import jax
 import pytest
 
 from ptgnn_tpu.graph.embedders import StrElementRepresentationModel
-from ptgnn_tpu.utils.profiling import LayerRoofline, Throughput, mp_layer_roofline
+from ptgnn_tpu.utils.profiling import Throughput, mp_layer_roofline
 
 WORDS = [
     "getValue", "set_item", "maxCount", "numNodes", "fileName", "toString",

@@ -4,7 +4,6 @@ pattern (ptgnn/tests/simplemodel/test_model.py) on the flagship task."""
 import tempfile
 from pathlib import Path
 
-import numpy as np
 import optax
 import pytest
 

@@ -3,7 +3,6 @@ drops, greedy-decode and evaluate with the reference's metrics."""
 import tempfile
 from pathlib import Path
 
-import numpy as np
 import optax
 import pytest
 

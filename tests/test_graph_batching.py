@@ -1,6 +1,5 @@
 """Batcher layout tests: flattening offsets, type-blocking, padding, budgets."""
 import numpy as np
-import pytest
 
 from ptgnn_tpu.graph.batching import GraphBatcher
 from ptgnn_tpu.graph.structs import BatchPadding, TensorizedGraphData

@@ -6,7 +6,6 @@ from pathlib import Path
 
 import numpy as np
 import optax
-import pytest
 
 from ptgnn_tpu.core.trainer import ModelTrainer
 from ptgnn_tpu.graph.structs import BatchPadding

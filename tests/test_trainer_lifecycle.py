@@ -7,7 +7,6 @@ accuracy > 0.95 within the epoch budget, and assert save/restore determinism
 """
 from typing import Any, Dict
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -3,9 +3,7 @@ above chance on label-matching synthetic data."""
 import tempfile
 from pathlib import Path
 
-import numpy as np
 import optax
-import pytest
 
 from ptgnn_tpu.core.data import LazyDataIterable
 from ptgnn_tpu.core.trainer import ModelTrainer

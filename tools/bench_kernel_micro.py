@@ -1,4 +1,4 @@
-import sys, time, functools
+import sys, time
 from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent.parent))
 import jax, jax.numpy as jnp, numpy as np

@@ -1,7 +1,7 @@
 import sys, time, os
 from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent.parent))
-import jax, jax.numpy as jnp, numpy as np
+import jax, jax.numpy as jnp
 import optax
 from ptgnn_tpu.graph.structs import BatchPadding
 from ptgnn_tpu.implementations.typilus.harness import build_graph2class

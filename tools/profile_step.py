@@ -2,7 +2,7 @@
 import sys, time
 from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent.parent))
-import jax, jax.numpy as jnp, numpy as np
+import jax, jax.numpy as jnp
 
 def timeit(fn, *args, n=10):
     out = fn(*args); jax.block_until_ready(out)

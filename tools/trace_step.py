@@ -1,7 +1,7 @@
 import sys, time, glob, gzip, json, collections
 from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent.parent))
-import jax, jax.numpy as jnp, numpy as np
+import jax, jax.numpy as jnp
 import optax
 
 from ptgnn_tpu.graph.structs import BatchPadding
