@@ -110,3 +110,118 @@ def test_reference_budget_refusal():
     assert b.can_add(g, mb)
     b.extend(g, mb)
     assert not b.can_add(g, mb)  # 12 > 8 budget
+
+
+def test_layout_invariants_fuzz():
+    """Randomized batches must satisfy every invariant the kernels and the
+    scatter-free fused backward rely on:
+
+    1. tiles are pure in edge type and row block; receivers sorted in-tile;
+    2. the real slots carry exactly the expected multiset of edges
+       (forward + backward type T+t + self edges with the final type id);
+    3. agg_counts equals the per-node in-degree of real edges;
+    4. transpose pairing: walking slot e' via its own endpoints and
+       tile_types_transposed recovers a real slot of the pair edge, and
+       pair ids (edge_feature_slot) match — the contract of
+       ops/fused_mp.route_transpose;
+    5. supertile fields, when present, group whole row-block runs.
+    """
+    from collections import Counter
+
+    from ptgnn_tpu.graph.batching import GraphBatcher
+    from ptgnn_tpu.graph.structs import BatchPadding, TensorizedGraphData
+
+    rng = np.random.RandomState(42)
+    for trial in range(10):
+        T = int(rng.randint(1, 4))
+        tile = int(rng.choice([16, 32]))
+        pad = BatchPadding(
+            max_nodes=256, max_edge_slots=4096, max_graphs=5,
+            edge_tile=tile, agg_rows=int(rng.choice([32, 64])),
+            agg_sum_tile=int(rng.choice([0, 4 * tile])),
+        )
+        b = GraphBatcher(T, pad, True, True, track_edge_features=True)
+        mb = b.initialize()
+        expected = Counter()  # (src, dst, type) with batch offsets
+        offset = 0
+        for _ in range(int(rng.randint(1, 4))):
+            n = int(rng.randint(4, 60))
+            adj, feats = [], []
+            for t in range(T):
+                e = int(rng.randint(0, 30))  # may be 0: empty type
+                src = rng.randint(0, n, e).astype(np.int32)
+                dst = rng.randint(0, n, e).astype(np.int32)
+                adj.append((src, dst))
+                feats.append(rng.randn(e, 3).astype(np.float32))
+            g = TensorizedGraphData(
+                num_nodes=n, node_tensorized_data=[0] * n,
+                adjacency_lists=adj, edge_features=feats, reference_nodes={},
+            )
+            if not b.can_add(g, mb):
+                break
+            b.extend(g, mb)
+            for t, (src, dst) in enumerate(adj):
+                for s, d in zip(src, dst):
+                    expected[(offset + int(s), offset + int(d), t)] += 1
+                    expected[(offset + int(d), offset + int(s), T + t)] += 1
+            for v in range(n):  # self edges, final type id
+                expected[(offset + v, offset + v, 2 * T)] += 1
+            offset += n
+        batch = b.finalize(mb, node_data={}, reference_names=[])
+        a = batch.adjacency
+        senders = np.asarray(a.senders); receivers = np.asarray(a.receivers)
+        types = np.asarray(a.edge_types); mask = np.asarray(a.mask)
+        tile_types = np.asarray(a.tile_types)
+        n_tiles = len(tile_types)
+
+        # 1. purity + sortedness
+        et = types.reshape(n_tiles, tile)
+        np.testing.assert_array_equal(et, np.repeat(et[:, :1], tile, axis=1))
+        rb = np.asarray(a.tile_row_blocks)
+        assert (np.diff(rb) >= 0).all()
+        recv_t = receivers.reshape(n_tiles, tile)
+        mask_t = mask.reshape(n_tiles, tile)
+        for k in range(n_tiles):
+            rr = recv_t[k][mask_t[k]]
+            assert (np.diff(rr) >= 0).all(), f"tile {k} not receiver-sorted"
+            if mask_t[k].any():
+                blocks = rr // pad.agg_rows
+                assert (blocks == rb[k]).all(), f"tile {k} spans row blocks"
+
+        # 2. exact edge multiset
+        got = Counter(
+            (int(s), int(d), int(t))
+            for s, d, t, m in zip(senders, receivers, types, mask) if m
+        )
+        assert got == expected
+
+        # 3. in-degree
+        counts = np.asarray(a.agg_counts).reshape(-1)
+        indeg = np.zeros(len(counts), np.int64)
+        for (_, d, _), c in expected.items():
+            indeg[d] += c
+        np.testing.assert_array_equal(counts, indeg)
+
+        # 4. transpose pairing (fused-backward contract)
+        pair = np.asarray(a.edge_feature_slot)
+        tau = np.repeat(np.asarray(a.tile_types_transposed), tile)
+        by_key = {}
+        for i in np.nonzero(mask)[0]:
+            by_key.setdefault(
+                (int(senders[i]), int(receivers[i]), int(types[i])), []
+            ).append(i)
+        for i in np.nonzero(mask)[0]:
+            want = (int(receivers[i]), int(senders[i]), int(tau[i]))
+            partners = by_key.get(want, [])
+            assert partners, f"slot {i}: no transpose partner {want}"
+            assert any(pair[j] == pair[i] for j in partners), (
+                f"slot {i}: no partner shares pair id {pair[i]}"
+            )
+
+        # 5. supertiles group whole row-block runs
+        if a.super_tile_row_blocks is not None:
+            k = pad.agg_sum_tile // tile
+            grouped = rb.reshape(-1, k)
+            np.testing.assert_array_equal(
+                grouped, np.repeat(grouped[:, :1], k, axis=1)
+            )
