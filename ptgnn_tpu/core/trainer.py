@@ -268,9 +268,15 @@ class ModelTrainer:
             from ptgnn_tpu.utils.oom import is_oom_error
 
             try:
-                params, opt_state, loss, metrics = self._train_step_fn(
+                new_params, new_opt_state, loss, metrics = self._train_step_fn(
                     params, opt_state, mb_data, jax.random.fold_in(rng, step_idx), lr_factor
                 )
+                # The step dispatches asynchronously; a device OOM
+                # (RESOURCE_EXHAUSTED) only surfaces at the first host sync.
+                # Read the loss here so it raises inside this block, and keep
+                # the step's outputs out of (params, opt_state) until it
+                # succeeds — no donation on the jit, so the inputs survive.
+                loss_f = float(loss)
             except RuntimeError as error:
                 if not (self._catch_device_ooms and is_oom_error(error)):
                     raise
@@ -281,12 +287,12 @@ class ModelTrainer:
                     "A device OOM error was caught; skipping minibatch."
                 )
                 continue
-            # NaN guard (reference: trainer.py:226); checked one step late to
-            # avoid a device sync in the hot loop.
-            if pending_loss is not None and not np.isfinite(pending_loss):
+            params, opt_state = new_params, new_opt_state
+            # NaN guard (reference: trainer.py:226). loss_f is already the
+            # synced host value, so the check is free and immediate.
+            if not np.isfinite(loss_f):
                 raise Exception("Loss has a NaN value.")
             pending_loss = loss
-            loss_f = float(loss)
             sum_epoch_loss += loss_f
             num_minibatches += 1
             num_samples += len(raw_samples)

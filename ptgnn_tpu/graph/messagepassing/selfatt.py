@@ -129,15 +129,32 @@ class MultiHeadSelfAttentionMessagePassing(AbstractMessagePassingLayer):
     ) -> jax.Array:
         n = node_states.shape[0]
         order = None
+        att_width = self.block_size
         if self.target_reference == "all":
-            if (
-                ctx.att_order is not None
-                and ctx.att_order.shape[1] == self.block_size
-            ):
+            if ctx.att_order is not None:
                 # Batch-provided permutation: every graph <= block occupies
                 # ONE block, so block attention is exact for it (the
                 # reference's chunk semantics). Gather rows, attend, scatter
-                # the updated rows back.
+                # the updated rows back. The attention window is the
+                # BATCHER's block width — if it differs from this layer's
+                # max_num_nodes, honor the packing (exactness needs
+                # one-graph-per-block) and say so once instead of silently
+                # reverting to graph-straddling approximation.
+                att_width = ctx.att_order.shape[1]
+                if att_width != self.block_size and not getattr(
+                    self, "_att_width_warned", False
+                ):
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "Self-attention layer max_num_nodes=%d but the batch "
+                        "packs attention blocks of %d nodes; using the "
+                        "batch's block width (set BatchPadding.att_block to "
+                        "match the layer to silence this).",
+                        self.block_size,
+                        att_width,
+                    )
+                    self._att_width_warned = True
                 order = ctx.att_order.reshape(-1)
                 safe = jnp.minimum(order, n - 1)
                 in_range = order < n
@@ -161,7 +178,7 @@ class MultiHeadSelfAttentionMessagePassing(AbstractMessagePassingLayer):
             valid = ref.mask
 
         r = relevant.shape[0]
-        block = min(self.block_size, r)
+        block = min(att_width, r)
         pad = (-r) % block
         if pad:
             relevant_p = jnp.pad(relevant, ((0, pad), (0, 0)))

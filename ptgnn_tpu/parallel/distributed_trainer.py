@@ -239,6 +239,20 @@ class DistributedModelTrainer(ModelTrainer):
             num_minibatches += 1
             num_samples += len(raw_samples)
             metrics_acc.update(metrics)
+        # A host whose validation shard is empty still executes the SPMD eval
+        # steps (empty masked groups, see _group_minibatches), so the
+        # no-data check must be on the GLOBAL sample count — a local assert
+        # would crash this host while the others wait in the collectives.
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            num_samples = int(
+                np.sum(
+                    multihost_utils.process_allgather(
+                        np.asarray(num_samples, np.int64)
+                    )
+                )
+            )
         assert num_samples > 0, "No validation data was found."
         validation_loss = sum_epoch_loss / num_minibatches
         self.LOGGER.info("Epoch %i: Valid Loss %.2f", epoch + 1, validation_loss)

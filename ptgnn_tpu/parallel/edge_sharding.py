@@ -71,16 +71,13 @@ def shard_adjacency(adj: AdjacencyStruct, num_shards: int):
         local_rows_row=None
         if adj.local_rows_row is None
         else adj.local_rows_row.reshape(num_shards, tiles_per * 8, tile),
-        # super rows_row sharding would need supertile-aligned cuts; shards
-        # fall back to the edge-tile plan (sharded aggregate uses XLA ops).
+        # Supertile plan fields would need supertile-aligned cuts; shards
+        # fall back to the edge-tile plan (sharded aggregate uses XLA ops),
+        # so BOTH supertile fields are dropped — the sum plan requires the
+        # pair together.
         local_rows_row_super=None,
         tile_row_blocks=split_tiles(adj.tile_row_blocks),
-        super_tile_row_blocks=(
-            adj.super_tile_row_blocks.reshape(num_shards, -1)
-            if adj.super_tile_row_blocks is not None
-            and adj.super_tile_row_blocks.shape[0] % num_shards == 0
-            else None
-        ),
+        super_tile_row_blocks=None,
         # counts are global (per node); replicate per shard for mean/extrema.
         agg_counts=adj.agg_counts,
         # edge-indexed like senders; feature payloads stay replicated.

@@ -487,7 +487,11 @@ class GruCopyingDecoderModel(
                 group_vocab_l.append(-1 if is_oov else vid)
             mem_group[slot] = group_of[key]
             mem_group_mask[slot] = True
-        g_pad = max(1, len(group_strings))
+        # Round the group budget up to a power of two: g_pad is
+        # data-dependent, and the jitted scan below is cached per static
+        # shape — bucketing bounds the number of compilations per run at
+        # log2(max groups) instead of one per evaluation minibatch.
+        g_pad = 1 << (max(1, len(group_strings)) - 1).bit_length()
         group_sample = np.full(g_pad, b_pad, np.int32)
         group_vocab = np.full(g_pad, -1, np.int32)
         group_sample[: len(group_sample_l)] = group_sample_l
@@ -554,7 +558,23 @@ class GruCopyingDecoderModel(
         start_tokens = jnp.full(
             (b_pad, 1), output_vocab.get_id_or_unk(self.START), jnp.int32
         )
-        emitted, logps = jax.jit(decode)(
+        # Reuse the compiled scan across minibatches: the closure only
+        # depends on these statics (plus neural_module/self config), so a
+        # fresh jit per call would re-trace and re-compile the whole
+        # max_seq_len-step loop for every evaluation batch.
+        cache_key = (
+            id(neural_module), b_pad, m_pad, g_pad, vocab_size, s, end_id,
+            unk_id, tuple(np.shape(input_memories)), tuple(np.shape(initial_states)),
+        )
+        cache = getattr(self, "_decode_jit_cache", None)
+        if cache is None:
+            cache = {}
+            self._decode_jit_cache = cache
+        jitted = cache.get(cache_key)
+        if jitted is None:
+            jitted = jax.jit(decode)
+            cache[cache_key] = jitted
+        emitted, logps = jitted(
             params,
             initial_states,
             input_memories,

@@ -416,3 +416,17 @@ def test_selfatt_straddling_graphs_vs_reference():
     ctx = make_ctx(batch)._replace(att_order=jnp.asarray(batch.att_order))
     out = np.asarray(ours.apply(params, pad_states(states, pad.max_nodes), ctx))
     np.testing.assert_allclose(out[:num_nodes], expected, rtol=1e-4, atol=1e-5)
+
+    # Width mismatch: a layer configured with a different window than the
+    # batcher's att_block must still honor the batch's packing (exact for
+    # graphs <= att_block) instead of silently reverting to the straddling
+    # approximation.
+    mismatched = MultiHeadSelfAttentionMessagePassing(
+        input_state_dimension=D, key_query_dimension=KD, value_dimension=VD,
+        output_dimension=D, intermediate_dimension=INTER, num_heads=HEADS,
+        max_num_nodes=16,  # != pad.att_block (8)
+    )
+    out2 = np.asarray(
+        mismatched.apply(params, pad_states(states, pad.max_nodes), ctx)
+    )
+    np.testing.assert_allclose(out2[:num_nodes], expected, rtol=1e-4, atol=1e-5)

@@ -238,6 +238,61 @@ def test_oom_step_is_skipped(tmp_path):
     assert acc > 0.9
 
 
+class _LazyOomLoss:
+    """Mimics an async JAX array whose RESOURCE_EXHAUSTED only surfaces at
+    the first host sync (float())."""
+
+    def __float__(self):
+        raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory (deferred at sync)")
+
+
+class _LazyOomInjectingTrainer(_OomInjectingTrainer):
+    """The step call itself succeeds (async dispatch); the OOM surfaces when
+    the trainer reads the loss."""
+
+    def _build_step_functions(self, optimizer):
+        ModelTrainer._build_step_functions(self, optimizer)
+        inner = self._train_step_fn
+
+        def failing_step(*args, **kwargs):
+            idx = self.steps_attempted
+            self.steps_attempted += 1
+            params, opt_state, loss, metrics = inner(*args, **kwargs)
+            if idx in self._fail_steps:
+                self.steps_failed += 1
+                return params, opt_state, _LazyOomLoss(), metrics
+            return params, opt_state, loss, metrics
+
+        self._train_step_fn = failing_step
+
+
+def test_oom_at_lazy_sync_is_skipped(tmp_path):
+    """Device OOM surfacing at the deferred sync point (float(loss)) must be
+    caught by catch_device_ooms, not escape the guarded region."""
+    data = synthetic_data(np.random.RandomState(5), 2000)
+    import optax
+
+    trainer = _LazyOomInjectingTrainer(
+        SimpleRegressionModel(),
+        tmp_path / "m.pkl.gz",
+        max_num_epochs=3,
+        minibatch_size=64,
+        catch_device_ooms=True,
+        optimizer_creator=lambda: optax.adam(1e-2),
+        fail_steps=(0, 5),
+    )
+    trainer.train(
+        LazyDataIterable(lambda: iter(data)),
+        LazyDataIterable(lambda: iter(data)),
+        parallelize=False,
+        validate_on_start=False,
+        patience=10,
+    )
+    assert trainer.steps_failed == 2
+    acc = trainer.model.compute_accuracy(data, trainer.params, trainer.neural_module)
+    assert acc > 0.9
+
+
 def test_oom_reraises_when_disabled(tmp_path):
     data = synthetic_data(np.random.RandomState(5), 300)
     trainer = _OomInjectingTrainer(
