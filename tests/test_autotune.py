@@ -1,0 +1,68 @@
+"""Occupancy autotuner: sweeps BatchPadding candidates and ranks by
+measured train-step throughput (utils/autotune.py)."""
+from ptgnn_tpu.graph.structs import BatchPadding
+from ptgnn_tpu.implementations.typilus.harness import build_graph2class
+from ptgnn_tpu.utils.autotune import (
+    TuneResult,
+    default_candidates,
+    measure_padding,
+    sweep_paddings,
+)
+
+
+def _build(padding):
+    _, module, params, mbs = build_graph2class(
+        padding=padding,
+        num_metadata_graphs=12,
+        mean_nodes=30,
+        max_graph_nodes=60,
+        hidden_state_size=16,
+        num_minibatches=1,
+        minibatch_size=8,
+    )
+    return module, params, mbs
+
+
+def test_sweep_ranks_feasible_candidates():
+    small = BatchPadding(
+        max_nodes=256, max_edge_slots=256 * 12, max_graphs=8, edge_tile=64,
+        reference_budgets=(("supernodes", 64), ("token-sequence", 256)),
+    )
+    import dataclasses
+
+    smaller = dataclasses.replace(
+        small, max_nodes=192, max_edge_slots=192 * 12 // 64 * 64
+    )
+    results = sweep_paddings(_build, [small, smaller], steps=3)
+    assert len(results) == 2
+    ok = [r for r in results if not r.error]
+    assert ok, [r.error for r in results]
+    best = results[0]
+    assert best.error is None
+    assert best.edges_per_sec > 0 and best.real_edges > 0
+    # sorted best-first
+    assert results[0].edges_per_sec >= results[1].edges_per_sec
+
+
+def test_infeasible_candidate_is_reported_not_raised():
+    # An edge budget far too small for the synthetic graphs: build must fail
+    # (no minibatch admits a graph) and the sweep reports it instead of
+    # aborting.
+    tiny = BatchPadding(
+        max_nodes=16, max_edge_slots=64, max_graphs=2, edge_tile=64,
+        reference_budgets=(("supernodes", 8), ("token-sequence", 16)),
+    )
+    r = measure_padding(_build, tiny, steps=1)
+    assert isinstance(r, TuneResult)
+    assert r.error is not None
+    assert r.edges_per_sec == 0.0
+
+
+def test_default_candidates_grid():
+    cands = default_candidates(
+        max_nodes_options=(1024, 2048), slots_per_node_options=(5.0, 6.0)
+    )
+    assert len(cands) == 4
+    for c in cands:
+        assert c.max_edge_slots % c.edge_tile == 0
+        assert c.max_edge_slots >= 5 * c.max_nodes - c.edge_tile
