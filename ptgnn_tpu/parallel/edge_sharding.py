@@ -96,10 +96,28 @@ def sharded_aggregate(
     """Local masked segment reduce + one collective over the edge axis.
 
     Call inside shard_map with ``axis_name`` mapped over the edge shards.
+    Each shard is a contiguous tile-aligned slice of the unified layout, so
+    when the batch carries an aggregation plan the local reduce runs the
+    sorted-segment Pallas kernel (edge-tile grid; supertile fields do not
+    survive sharding) — the XLA segment ops remain the fallback.
     """
+    from ptgnn_tpu.graph.messagepassing.base import _use_pallas_aggregation
+    from ptgnn_tpu.ops.pallas.segment_kernels import adjacency_segment_reduce
+
     mask = mask if mask is not None else local_adj.mask
+    use_plan = local_adj.has_aggregation_plan and _use_pallas_aggregation()
     if reduction in ("sum", "add", "mean"):
-        local = segment_sum(messages, local_adj.receivers, num_nodes, mask)
+        if use_plan:
+            local = adjacency_segment_reduce(
+                messages, local_adj, num_nodes, "sum", mask=mask
+            )
+            # A shard's tiles cover only its own row blocks; output blocks
+            # no local tile maps to are uninitialized kernel memory (the
+            # full-batch layout guarantees coverage, a shard slice doesn't).
+            # Zero them before they poison the psum.
+            local = _zero_uncovered_blocks(local, local_adj, num_nodes)
+        else:
+            local = segment_sum(messages, local_adj.receivers, num_nodes, mask)
         total = jax.lax.psum(local, axis_name)
         if reduction == "mean":
             cnt = segment_count(local_adj.receivers, num_nodes, mask).astype(total.dtype)
@@ -109,10 +127,16 @@ def sharded_aggregate(
     if reduction in ("max", "min"):
         is_max = reduction == "max"
         neutral = -_BIG if is_max else _BIG
-        work = jnp.where(mask[:, None], messages.astype(jnp.float32), neutral)
-        local = segment_reduce(
-            work, local_adj.receivers, num_nodes, reduction, mask=None
-        )
+        if use_plan:
+            local = adjacency_segment_reduce(
+                messages.astype(jnp.float32), local_adj, num_nodes, reduction,
+                mask=mask,
+            )
+        else:
+            work = jnp.where(mask[:, None], messages.astype(jnp.float32), neutral)
+            local = segment_reduce(
+                work, local_adj.receivers, num_nodes, reduction, mask=None
+            )
         # empty local segments were filled with 0 by segment_reduce; restore
         # the neutral so they lose the cross-shard combine
         cnt_l = segment_count(local_adj.receivers, num_nodes, mask)
@@ -121,6 +145,19 @@ def sharded_aggregate(
         cnt = jax.lax.psum(cnt_l, axis_name)
         return jnp.where(cnt[:, None] > 0, total, 0.0).astype(messages.dtype)
     raise ValueError(f"Unknown reduction '{reduction}'")
+
+
+def _zero_uncovered_blocks(out: jax.Array, adj: AdjacencyStruct, num_nodes: int):
+    """Zero output rows of row blocks no local tile maps to (their kernel
+    output is uninitialized). Coverage comes from the shard's tile plan."""
+    num_blocks, r = adj.agg_counts.shape
+    cov = (
+        jnp.zeros((num_blocks,), jnp.int32)
+        .at[adj.tile_row_blocks]
+        .set(1, mode="drop")
+    )
+    cov_rows = jnp.repeat(cov, r)[:num_nodes]
+    return jnp.where(cov_rows[:, None] > 0, out, jnp.zeros((), out.dtype))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))

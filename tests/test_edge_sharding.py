@@ -48,6 +48,32 @@ def build_batch():
 
 @pytest.mark.parametrize("reduction", ["sum", "mean", "max"])
 def test_sharded_aggregate_matches_single_device(reduction):
+    _assert_sharded_matches(reduction)
+
+
+@pytest.mark.parametrize("reduction", ["sum", "mean", "max"])
+def test_sharded_aggregate_pallas_plan_matches(reduction, monkeypatch):
+    """The within-shard reduce takes the sorted-segment Pallas kernel path
+    (each shard is a tile-aligned slice carrying a valid edge-tile plan) and
+    must still match the single-device reduce exactly."""
+    monkeypatch.setenv("PTGNN_TPU_FORCE_PALLAS_AGG", "1")
+    if jax.default_backend() != "tpu":
+        import jax.experimental.pallas as pl
+
+        from ptgnn_tpu.ops.pallas import segment_kernels as sk
+
+        real_call = pl.pallas_call
+
+        def patched(*args, **kwargs):
+            kwargs["interpret"] = True
+            kwargs.pop("cost_estimate", None)
+            return real_call(*args, **kwargs)
+
+        monkeypatch.setattr(sk.pl, "pallas_call", patched)
+    _assert_sharded_matches(reduction)
+
+
+def _assert_sharded_matches(reduction):
     pad, batch = build_batch()
     adj = jax.tree_util.tree_map(jnp.asarray, batch.adjacency)
     rng = np.random.RandomState(0)
@@ -62,8 +88,10 @@ def test_sharded_aggregate_matches_single_device(reduction):
 
     mesh = Mesh(np.asarray(jax.devices()[:N_SHARDS]), ("edge",))
 
-    def per_shard(local_adj, local_msgs):
-        local_adj = jax.tree_util.tree_map(lambda x: x[0], local_adj)
+    def per_shard(adj_in, local_msgs):
+        local_adj = jax.tree_util.tree_map(lambda x: x[0], adj_in)
+        # agg_counts is replicated (P()), not shard-leading — keep it whole
+        local_adj = local_adj._replace(agg_counts=adj_in.agg_counts)
         return sharded_aggregate(
             local_msgs[0], local_adj, pad.max_nodes, reduction, "edge"
         )
