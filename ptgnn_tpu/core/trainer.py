@@ -75,6 +75,7 @@ class ModelTrainer:
         target_validation_metric_higher_is_better: bool = False,
         enable_amp: bool = False,
         catch_device_ooms: bool = False,
+        gradient_accumulation_steps: int = 1,
         seed: int = 0,
     ):
         self._model = model
@@ -88,6 +89,9 @@ class ModelTrainer:
         self._clip_gradient_norm = clip_gradient_norm
         self._enable_amp = enable_amp
         self._catch_device_ooms = catch_device_ooms
+        assert gradient_accumulation_steps >= 1
+        self._grad_accum_steps = gradient_accumulation_steps
+        self._grad_accum_state = None  # (grad_tree, count) between microbatches
         self._seed = seed
 
         self._metadata_finalized_hooks: List[Callable[[AbstractNeuralModel], None]] = []
@@ -233,6 +237,74 @@ class ModelTrainer:
         self._train_step_fn = jax.jit(train_step)
         self._eval_step_fn = jax.jit(eval_step)
 
+        if self._grad_accum_steps > 1:
+            self._build_accumulating_step(optimizer, loss_fn)
+
+    def _build_accumulating_step(self, optimizer, loss_fn):
+        """Gradient accumulation: every k-th microbatch applies the mean of
+        the last k gradients; the others only add to a device-resident
+        accumulator. Large effective batches without the memory (and, on
+        this stack, the superlinear irregular-op cost) of a large padded
+        batch — compose with the tuned per-step batch size instead.
+        """
+        k = self._grad_accum_steps
+
+        def grad_step(params, grad_acc, minibatch, rng):
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, minibatch, rng
+            )
+            grads = _cast_floats(grads, jnp.float32)
+            grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
+            return grad_acc, loss, metrics
+
+        def apply_step(params, opt_state, grad_acc, count, lr_factor):
+            grads = jax.tree_util.tree_map(
+                lambda g: g / jnp.maximum(count, 1.0), grad_acc
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            updates = jax.tree_util.tree_map(lambda u: u * lr_factor, updates)
+            return optax.apply_updates(params, updates), opt_state
+
+        grad_step_j = jax.jit(grad_step, donate_argnums=(1,))
+        apply_step_j = jax.jit(apply_step)
+
+        def zeros_like_grads(params):
+            return jax.tree_util.tree_map(
+                lambda p: jnp.zeros(jnp.shape(p), jnp.float32)
+                if jnp.issubdtype(jnp.asarray(p).dtype, jnp.floating)
+                else jnp.zeros(jnp.shape(p), jnp.asarray(p).dtype),
+                params,
+            )
+
+        def accumulating_train_step(params, opt_state, minibatch, rng, lr_factor):
+            acc, count = self._grad_accum_state or (zeros_like_grads(params), 0)
+            acc, loss, metrics = grad_step_j(params, acc, minibatch, rng)
+            count += 1
+            if count >= k:
+                params, opt_state = apply_step_j(
+                    params, opt_state, acc, jnp.float32(count), lr_factor
+                )
+                self._grad_accum_state = None
+            else:
+                self._grad_accum_state = (acc, count)
+                self._last_lr_factor = lr_factor
+            return params, opt_state, loss, metrics
+
+        self._train_step_fn = accumulating_train_step
+        self._apply_accum_fn = apply_step_j
+
+    def _flush_accumulated_grads(self, opt_state):
+        """Apply a trailing partial accumulation group (end of epoch)."""
+        if getattr(self, "_grad_accum_state", None) is None:
+            return opt_state
+        acc, count = self._grad_accum_state
+        self._grad_accum_state = None
+        self._params, opt_state = self._apply_accum_fn(
+            self._params, opt_state, acc, jnp.float32(count),
+            getattr(self, "_last_lr_factor", 1.0),
+        )
+        return opt_state
+
     # ------------------------------------------------------------------
     # Epoch loops
     # ------------------------------------------------------------------
@@ -307,6 +379,9 @@ class ModelTrainer:
         if pending_loss is not None and not np.isfinite(float(pending_loss)):
             raise Exception("Loss has a NaN value.")
         self._params = params
+        if self._grad_accum_steps > 1:
+            opt_state = self._flush_accumulated_grads(opt_state)
+            params = self._params
 
         elapsed = time.time() - start_time
         assert num_minibatches > 0, (

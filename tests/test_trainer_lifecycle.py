@@ -293,6 +293,78 @@ def test_oom_at_lazy_sync_is_skipped(tmp_path):
     assert acc > 0.9
 
 
+def test_gradient_accumulation_matches_mean_gradient_step(tmp_path):
+    """accum=2: the first microbatch must not touch params; the second must
+    apply exactly one optimizer step on the MEAN of the two gradients."""
+    import jax
+    import optax
+
+    data = synthetic_data(np.random.RandomState(3), 256)
+    model = SimpleRegressionModel()
+    trainer = ModelTrainer(
+        model,
+        tmp_path / "m.pkl.gz",
+        gradient_accumulation_steps=2,
+        optimizer_creator=lambda: optax.sgd(0.1),
+    )
+    trainer.load_metadata_and_create_network(data, parallelize=False)
+    optimizer = optax.sgd(0.1)
+    trainer._build_step_functions(optimizer)
+    module = trainer.neural_module
+    params0 = trainer.params
+    mbs = [
+        mb
+        for mb, _ in model.minibatch_iterator(
+            model.tensorize_dataset(iter(data), parallelize=False),
+            max_minibatch_size=64,
+            parallelize=False,
+        )
+    ][:2]
+    opt_state = optimizer.init(params0)
+    rngs = [jax.random.PRNGKey(1), jax.random.PRNGKey(2)]
+
+    p, s, _, _ = trainer._train_step_fn(params0, opt_state, mbs[0], rngs[0], 1.0)
+    for a, b in zip(jax.tree_util.tree_leaves(p), jax.tree_util.tree_leaves(params0)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    p, s, _, _ = trainer._train_step_fn(p, s, mbs[1], rngs[1], 1.0)
+
+    def loss_fn(params, mb, rng):
+        return module.apply(params, **mb, train=True, rng=rng)[0]
+
+    g1 = jax.grad(loss_fn)(params0, mbs[0], rngs[0])
+    g2 = jax.grad(loss_fn)(params0, mbs[1], rngs[1])
+    gm = jax.tree_util.tree_map(lambda a, b: (a + b) / 2.0, g1, g2)
+    updates, _ = optimizer.update(gm, optimizer.init(params0), params0)
+    expected = optax.apply_updates(params0, updates)
+    for a, b in zip(jax.tree_util.tree_leaves(p), jax.tree_util.tree_leaves(expected)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_gradient_accumulation_trains(tmp_path):
+    """End to end with an odd microbatch count per epoch (exercises the
+    trailing-group flush) the model still learns."""
+    import optax
+
+    data = synthetic_data(np.random.RandomState(5), 2000)
+    trainer = ModelTrainer(
+        SimpleRegressionModel(),
+        tmp_path / "m.pkl.gz",
+        max_num_epochs=8,
+        minibatch_size=64,  # 2000/64 -> 31 full minibatches: odd
+        gradient_accumulation_steps=2,
+        optimizer_creator=lambda: optax.adam(1e-2),
+    )
+    trainer.train(
+        LazyDataIterable(lambda: iter(data)),
+        LazyDataIterable(lambda: iter(data)),
+        parallelize=False,
+        validate_on_start=False,
+        patience=10,
+    )
+    acc = trainer.model.compute_accuracy(data, trainer.params, trainer.neural_module)
+    assert acc > 0.9
+
+
 def test_oom_reraises_when_disabled(tmp_path):
     data = synthetic_data(np.random.RandomState(5), 300)
     trainer = _OomInjectingTrainer(
