@@ -74,6 +74,11 @@ class DistributedModelTrainer(ModelTrainer):
 
     # ------------------------------------------------------------------
     def _build_step_functions(self, optimizer: optax.GradientTransformation):
+        assert self._grad_accum_steps == 1, (
+            "gradient_accumulation_steps is not supported by "
+            "DistributedModelTrainer yet — grow the effective batch by "
+            "adding devices to the data axis instead."
+        )
         self._dp = DataParallel(
             self.neural_module,
             optimizer,
