@@ -74,11 +74,6 @@ class DistributedModelTrainer(ModelTrainer):
 
     # ------------------------------------------------------------------
     def _build_step_functions(self, optimizer: optax.GradientTransformation):
-        assert self._grad_accum_steps == 1, (
-            "gradient_accumulation_steps is not supported by "
-            "DistributedModelTrainer yet — grow the effective batch by "
-            "adding devices to the data axis instead."
-        )
         self._dp = DataParallel(
             self.neural_module,
             optimizer,
@@ -88,6 +83,57 @@ class DistributedModelTrainer(ModelTrainer):
         )
         self._train_step_fn = self._dp.build_train_step()
         self._eval_step_fn = self._dp.build_eval_step()
+        if self._grad_accum_steps > 1:
+            assert jax.process_count() == 1, (
+                "gradient accumulation is supported on single-controller "
+                "meshes; under multi-host grow the data axis instead"
+            )
+            self._build_dp_accumulating_step()
+
+    def _build_dp_accumulating_step(self):
+        """Wrap the SPMD step with gradient accumulation (ModelTrainer
+        semantics: every k-th device group applies one optimizer step on the
+        real-count-weighted mean of the accumulated gradients)."""
+        import jax.numpy as jnp
+
+        k = self._grad_accum_steps
+        grad_step, apply_step = self._dp.build_accum_steps()
+        self._apply_accum_fn = apply_step
+
+        def accumulating(params, opt_state, stacked_mb, rng, lr_factor, weights):
+            state = self._grad_accum_state
+            if state is None:
+                acc = jax.tree_util.tree_map(
+                    lambda p: jnp.zeros(jnp.shape(p), jnp.float32), params
+                )
+                w_acc, count = jnp.float32(0.0), 0
+            else:
+                acc, w_acc, count = state
+            acc, w_acc, loss, metrics = grad_step(
+                params, acc, w_acc, stacked_mb, rng, weights
+            )
+            count += 1
+            if count >= k:
+                params, opt_state = apply_step(params, opt_state, acc, w_acc, lr_factor)
+                self._grad_accum_state = None
+            else:
+                self._grad_accum_state = (acc, w_acc, count)
+                self._last_lr_factor = lr_factor
+            return params, opt_state, loss, metrics
+
+        self._train_step_fn = accumulating
+
+    def _flush_accumulated_grads(self, opt_state):
+        """DP accumulation state carries (acc, weight_total, count)."""
+        if getattr(self, "_grad_accum_state", None) is None:
+            return opt_state
+        acc, w_acc, _ = self._grad_accum_state
+        self._grad_accum_state = None
+        self.params, opt_state = self._apply_accum_fn(
+            self.params, opt_state, acc, w_acc,
+            getattr(self, "_last_lr_factor", 1.0),
+        )
+        return opt_state
 
     def _empty_minibatch(self) -> Dict[str, Any]:
         """A fully masked batch used to pad the last device group."""
@@ -198,6 +244,8 @@ class DistributedModelTrainer(ModelTrainer):
             num_samples += len(raw_samples)
             metrics_acc.update(metrics)
         self.params = params
+        if self._grad_accum_steps > 1:
+            opt_state = self._flush_accumulated_grads(opt_state)
         if not np.isfinite(sum_epoch_loss):
             raise Exception("Loss has a NaN value.")
 

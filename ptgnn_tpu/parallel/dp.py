@@ -181,6 +181,21 @@ class DataParallel:
         dilute the step (the reference's DDP.join analogue). None means
         uniform weights, i.e. a plain pmean.
         """
+        grads_fn = self._build_grads_fn()
+
+        def train_step(params, opt_state, stacked_mb, rng, lr_factor, weights=None):
+            if weights is None:
+                weights = jnp.ones((self.num_devices,), jnp.float32)
+            grads, loss, metrics, _ = grads_fn(params, stacked_mb, rng, weights)
+            params, opt_state = self._apply(params, opt_state, grads, lr_factor)
+            return params, opt_state, loss, metrics
+
+        donate = (0, 1)
+        return jax.jit(train_step, donate_argnums=donate)
+
+    def _build_grads_fn(self):
+        """shard_map producing the weighted-mean gradients plus the weight
+        total (psum of per-device real counts — the normalizer)."""
         axis = self.axis
 
         def per_device_grads(params, mb, rng, w):
@@ -197,36 +212,59 @@ class DataParallel:
             )
             loss = jax.lax.psum(loss * w, axis) / wsum
             metrics = jax.tree_util.tree_map(lambda m: jax.lax.psum(m, axis), metrics)
-            return grads, loss, metrics
+            return grads, loss, metrics, wsum
 
-        grads_fn = _shard_map(
+        return _shard_map(
             lambda params, smb, rng, w: per_device_grads(
                 params, jax.tree_util.tree_map(lambda x: x[0], smb), rng, w
             ),
             mesh=self.mesh,
-            in_specs=(P(), P(axis), P(), P(axis)),
-            out_specs=(P(), P(), P()),
+            in_specs=(P(), P(self.axis), P(), P(self.axis)),
+            out_specs=(P(), P(), P(), P()),
         )
 
-        def train_step(params, opt_state, stacked_mb, rng, lr_factor, weights=None):
-            if weights is None:
-                weights = jnp.ones((self.num_devices,), jnp.float32)
-            grads, loss, metrics = grads_fn(params, stacked_mb, rng, weights)
-            updates, opt_state = self.optimizer.update(grads, opt_state, params)
-            updates = jax.tree_util.tree_map(lambda u: u * lr_factor, updates)
-            params = optax.apply_updates(params, updates)
-            if self.zero1:
-                # ZeRO-1: moments stay sharded over the data axis; the param
-                # update runs shardwise and this constraint is the all-gather
-                # that re-replicates params for the next step.
-                params = jax.lax.with_sharding_constraint(params, self.replicated())
-                opt_state = jax.lax.with_sharding_constraint(
-                    opt_state, self._zero1_opt_sharding(opt_state)
-                )
-            return params, opt_state, loss, metrics
+    def _apply(self, params, opt_state, grads, lr_factor):
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        updates = jax.tree_util.tree_map(lambda u: u * lr_factor, updates)
+        params = optax.apply_updates(params, updates)
+        if self.zero1:
+            # ZeRO-1: moments stay sharded over the data axis; the param
+            # update runs shardwise and this constraint is the all-gather
+            # that re-replicates params for the next step.
+            params = jax.lax.with_sharding_constraint(params, self.replicated())
+            opt_state = jax.lax.with_sharding_constraint(
+                opt_state, self._zero1_opt_sharding(opt_state)
+            )
+        return params, opt_state
 
-        donate = (0, 1)
-        return jax.jit(train_step, donate_argnums=donate)
+    def build_accum_steps(self):
+        """Gradient accumulation for the SPMD path: ``grad_step`` adds one
+        device group's weighted gradient SUM (and weight total) to a
+        replicated accumulator; ``apply_step`` divides by the accumulated
+        weight and runs the optimizer once. Weighted exactly like
+        build_train_step: the final update equals one step on the
+        real-count-weighted mean gradient of ALL accumulated microbatches
+        (padding groups contribute weight 0).
+        """
+        grads_fn = self._build_grads_fn()
+
+        def grad_step(params, grad_acc, w_acc, stacked_mb, rng, weights):
+            grads, loss, metrics, wsum = grads_fn(params, stacked_mb, rng, weights)
+            grad_acc = jax.tree_util.tree_map(
+                lambda a, g: a + g * wsum, grad_acc, grads
+            )
+            return grad_acc, w_acc + wsum, loss, metrics
+
+        def apply_step(params, opt_state, grad_acc, w_acc, lr_factor):
+            grads = jax.tree_util.tree_map(
+                lambda a: a / jnp.maximum(w_acc, 1e-9), grad_acc
+            )
+            return self._apply(params, opt_state, grads, lr_factor)
+
+        return (
+            jax.jit(grad_step, donate_argnums=(1,)),
+            jax.jit(apply_step, donate_argnums=(0, 1, 2)),
+        )
 
     def build_eval_step(self) -> Callable:
         axis = self.axis
