@@ -111,6 +111,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--max-num-epochs", type=int, default=100)
     parser.add_argument("--minibatch-size", type=int, default=50)
     parser.add_argument("--amp", action="store_true")
+    parser.add_argument("--gradient-accumulation", type=int, default=1,
+                        help="apply the mean gradient of every k minibatches in one optimizer step")
     parser.add_argument("--restore-path", type=Path, default=None)
     parser.add_argument("--sequential-run", action="store_true")
     parser.add_argument("--quiet", action="store_true")
@@ -140,6 +142,7 @@ def run(args: argparse.Namespace) -> ModelTrainer:
         max_num_epochs=args.max_num_epochs,
         minibatch_size=args.minibatch_size,
         enable_amp=args.amp,
+        gradient_accumulation_steps=args.gradient_accumulation,
     )
     if params is not None:
         trainer.neural_module = model.build_neural_module()

@@ -92,6 +92,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--sequential-run", action="store_true")
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--max-nodes", type=int, default=4096)
+    parser.add_argument("--gradient-accumulation", type=int, default=1,
+                        help="apply the mean gradient of every k minibatches in one optimizer step")
     return parser
 
 
@@ -116,6 +118,7 @@ def run(args: argparse.Namespace) -> None:
         model_path,
         max_num_epochs=args.max_num_epochs,
         minibatch_size=args.minibatch_size,
+        gradient_accumulation_steps=args.gradient_accumulation,
         optimizer_creator=lambda: optax.adam(1e-3),
         clip_gradient_norm=1.0,
         target_validation_metric="f1_score",
