@@ -49,6 +49,24 @@ class AbstractScheduler(Protocol):
         ...
 
 
+def _prefetch_device_batches(iterator, size: int):
+    """Keep ``size`` minibatches in flight on the device.
+
+    JAX transfers are asynchronous, so issuing the NEXT batch's device_put
+    before consuming the current one overlaps host->device copies with the
+    running step instead of paying them on the step's critical path.
+    Yields the same (minibatch, raw_samples) pairs, in order."""
+    from collections import deque
+
+    buf = deque()
+    for mb, raw in iterator:
+        buf.append((jax.device_put(mb), raw))
+        if len(buf) >= size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def _cast_floats(tree, dtype):
     def cast(x):
         if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
@@ -76,6 +94,7 @@ class ModelTrainer:
         enable_amp: bool = False,
         catch_device_ooms: bool = False,
         gradient_accumulation_steps: int = 1,
+        prefetch_to_device: int = 2,
         seed: int = 0,
     ):
         self._model = model
@@ -92,6 +111,8 @@ class ModelTrainer:
         assert gradient_accumulation_steps >= 1
         self._grad_accum_steps = gradient_accumulation_steps
         self._grad_accum_state = None  # (grad_tree, count) between microbatches
+        assert prefetch_to_device >= 1
+        self._prefetch_to_device = prefetch_to_device
         self._seed = seed
 
         self._metadata_finalized_hooks: List[Callable[[AbstractNeuralModel], None]] = []
@@ -327,15 +348,16 @@ class ModelTrainer:
                 progress = tqdm(desc=f"epoch {epoch + 1}", unit="mb", leave=False)
             except ImportError:  # pragma: no cover
                 progress = None
-        for step_idx, (mb_data, raw_samples) in enumerate(
-            self._model.minibatch_iterator(
-                training_tensors(),
-                max_minibatch_size=self._minibatch_size,
-                yield_partial_minibatches=False,
-                shuffle_input=shuffle_input,
-                parallelize=parallelize,
-            )
-        ):
+        mb_iter = self._model.minibatch_iterator(
+            training_tensors(),
+            max_minibatch_size=self._minibatch_size,
+            yield_partial_minibatches=False,
+            shuffle_input=shuffle_input,
+            parallelize=parallelize,
+        )
+        if self._prefetch_to_device > 1:
+            mb_iter = _prefetch_device_batches(mb_iter, self._prefetch_to_device)
+        for step_idx, (mb_data, raw_samples) in enumerate(mb_iter):
             lr_factor = 1.0 if scheduler is None else scheduler.step(epoch, step_idx)
             from ptgnn_tpu.utils.oom import is_oom_error
 
