@@ -268,3 +268,48 @@ class Graph2Seq(AbstractNeuralModel[CodeGraph2Seq, TensorizedGraph2Seq, Graph2Se
             )
         assert len(decoded_sequences) == len(data)
         return decoded_sequences
+
+    def beam_decode(
+        self,
+        data: List[CodeGraph2Seq],
+        params: Params,
+        trained_network: Graph2SeqModule,
+        beam_size: int = 5,
+        max_minibatch_size: int = 50,
+    ) -> List[List[Tuple[List[str], float]]]:
+        """Beam search over the joint vocab ∪ copy space — beyond the
+        reference, which only ships greedy (graph2seq.py:175-205). Returns
+        per sample the ``beam_size`` best sequences with logprobs,
+        best-first."""
+        encode = jax.jit(
+            lambda params, batch: trained_network._encode(params, batch, train=False, rng=None)[
+                :4
+            ]
+        )
+        decoded: List[List[Tuple[List[str], float]]] = []
+        for mb_data, input_data in self.minibatch_iterator(
+            self.tensorize_dataset(iter(data), return_input_data=True),
+            max_minibatch_size=max_minibatch_size,
+        ):
+            input_concrete_values: List[str] = []
+            for sample in input_data:
+                sample = enforce_not_None(sample)
+                input_concrete_values.extend(
+                    sample["node_labels"][k].lower() for k in sample["backbone_sequence"]
+                )
+            memories, origin, memory_mask, initial_states = encode(params, mb_data["batch"])
+            decoded.extend(
+                self.__decoder_model.beam_decode(
+                    beam_size=beam_size,
+                    input_concrete_values=input_concrete_values,
+                    input_memories=memories,
+                    input_memories_origin_idx=origin,
+                    memory_mask=memory_mask,
+                    initial_states=initial_states,
+                    params=params["decoder"],
+                    neural_module=trained_network.decoder,
+                    num_real_targets=len(input_data),
+                )
+            )
+        assert len(decoded) == len(data)
+        return decoded

@@ -20,9 +20,16 @@ from ptgnn_tpu.implementations.graph2seq.train import load_jsonl
 from ptgnn_tpu.utils.strsim import jaro_winkler
 
 
-def evaluate(model: Graph2Seq, params, network, data: List[dict], verbose: bool = True) -> Dict:
-    """(reference: graph2seq/test.py:38-65)"""
-    all_responses = model.greedy_decode(data, params, network)
+def evaluate(model: Graph2Seq, params, network, data: List[dict], verbose: bool = True,
+             beam_size: int = 1) -> Dict:
+    """(reference: graph2seq/test.py:38-65; --beam-size > 1 scores the top
+    beam instead of the greedy sequence — beyond the reference)."""
+    if beam_size > 1:
+        all_responses = [
+            beams[0] for beams in model.beam_decode(data, params, network, beam_size=beam_size)
+        ]
+    else:
+        all_responses = model.greedy_decode(data, params, network)
     correct_elements, jw_sim, num_elements = 0, 0.0, 0
     sum_f1, sum_precision, sum_recall = 0.0, 0.0, 0.0
     for (res_tokens, res_logprob), actual_data in zip(all_responses, data):
@@ -59,7 +66,7 @@ def run(args: argparse.Namespace) -> None:
     data = list(load_jsonl(args.test_data_path))
     model, params = Graph2Seq.restore_model(args.model_filename)
     network = model.build_neural_module()
-    metrics = evaluate(model, params, network, data)
+    metrics = evaluate(model, params, network, data, beam_size=args.beam_size)
     print(f"Acc {metrics['accuracy']:%}")
     print(f"F1 {metrics['f1']}")
     print(f"Pr {metrics['precision']}  Re {metrics['recall']}")
@@ -71,6 +78,8 @@ def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("model_filename", type=Path)
     parser.add_argument("test_data_path", type=Path)
+    parser.add_argument("--beam-size", type=int, default=1,
+                        help="beam search width; 1 = greedy")
     logging.basicConfig(level=logging.INFO)
     run(parser.parse_args())
 

@@ -432,6 +432,59 @@ class GruCopyingDecoderModel(
             top_k=top_k,
         )
 
+    def _build_copy_groups(
+        self, input_concrete_values, input_memories_origin_idx, memory_mask,
+        batch_size: int, b_pad: int, unk_id: int,
+    ):
+        """Host-side copy groups: one group per distinct (sample, concrete
+        string); memories map onto groups so the device merges copy mass per
+        STRING (all positions holding the same string are one candidate)."""
+        output_vocab = self.__output_vocabulary
+        real_memory_slots = np.where(np.asarray(memory_mask))[0]
+        assert len(real_memory_slots) == len(input_concrete_values), (
+            len(real_memory_slots),
+            len(input_concrete_values),
+        )
+        origin_np = np.asarray(input_memories_origin_idx)
+        m_pad = origin_np.shape[0]
+
+        group_of: Dict[Tuple[int, str], int] = {}
+        group_strings: List[str] = []
+        group_sample_l: List[int] = []
+        group_vocab_l: List[int] = []
+        mem_group = np.full(m_pad, 0, np.int32)
+        mem_group_mask = np.zeros(m_pad, bool)
+        for slot, concrete in zip(real_memory_slots, input_concrete_values):
+            bi = int(origin_np[slot])
+            if bi >= batch_size:
+                continue
+            key = (bi, concrete)
+            if key not in group_of:
+                group_of[key] = len(group_strings)
+                group_strings.append(concrete)
+                group_sample_l.append(bi)
+                vid = output_vocab.get_id_or_unk(concrete)
+                # UNK id means out-of-vocab UNLESS the string is the UNK
+                # token itself; OOV groups stand alone as candidates.
+                is_oov = vid == unk_id and concrete != Vocabulary.get_unk()
+                group_vocab_l.append(-1 if is_oov else vid)
+            mem_group[slot] = group_of[key]
+            mem_group_mask[slot] = True
+        # Round the group budget up to a power of two: g_pad is
+        # data-dependent, and the jitted scans are cached per static shape —
+        # bucketing bounds the number of compilations per run at
+        # log2(max groups) instead of one per evaluation minibatch.
+        g_pad = 1 << (max(1, len(group_strings)) - 1).bit_length()
+        group_sample = np.full(g_pad, b_pad, np.int32)
+        group_vocab = np.full(g_pad, -1, np.int32)
+        group_sample[: len(group_sample_l)] = group_sample_l
+        group_vocab[: len(group_vocab_l)] = group_vocab_l
+        group_valid = np.arange(g_pad) < len(group_strings)
+        return (
+            mem_group, mem_group_mask, group_sample, group_vocab, group_valid,
+            group_strings, g_pad, m_pad,
+        )
+
     def _greedy_decode_device(
         self,
         *,
@@ -456,47 +509,13 @@ class GruCopyingDecoderModel(
         unk_id = neural_module.unk_id
         s = self.max_seq_len
 
-        real_memory_slots = np.where(np.asarray(memory_mask))[0]
-        assert len(real_memory_slots) == len(input_concrete_values), (
-            len(real_memory_slots),
-            len(input_concrete_values),
+        (
+            mem_group, mem_group_mask, group_sample, group_vocab, group_valid,
+            group_strings, g_pad, m_pad,
+        ) = self._build_copy_groups(
+            input_concrete_values, input_memories_origin_idx, memory_mask,
+            batch_size, b_pad, unk_id,
         )
-        origin_np = np.asarray(input_memories_origin_idx)
-        m_pad = origin_np.shape[0]
-
-        # --- host: string groups (sample, concrete string) -> group id ---
-        group_of: Dict[Tuple[int, str], int] = {}
-        group_strings: List[str] = []
-        group_sample_l: List[int] = []
-        group_vocab_l: List[int] = []
-        mem_group = np.full(m_pad, 0, np.int32)
-        mem_group_mask = np.zeros(m_pad, bool)
-        for slot, concrete in zip(real_memory_slots, input_concrete_values):
-            bi = int(origin_np[slot])
-            if bi >= batch_size:
-                continue
-            key = (bi, concrete)
-            if key not in group_of:
-                group_of[key] = len(group_strings)
-                group_strings.append(concrete)
-                group_sample_l.append(bi)
-                vid = output_vocab.get_id_or_unk(concrete)
-                # UNK id means out-of-vocab UNLESS the string is the UNK
-                # token itself; OOV groups stand alone as candidates.
-                is_oov = vid == unk_id and concrete != Vocabulary.get_unk()
-                group_vocab_l.append(-1 if is_oov else vid)
-            mem_group[slot] = group_of[key]
-            mem_group_mask[slot] = True
-        # Round the group budget up to a power of two: g_pad is
-        # data-dependent, and the jitted scan below is cached per static
-        # shape — bucketing bounds the number of compilations per run at
-        # log2(max groups) instead of one per evaluation minibatch.
-        g_pad = 1 << (max(1, len(group_strings)) - 1).bit_length()
-        group_sample = np.full(g_pad, b_pad, np.int32)
-        group_vocab = np.full(g_pad, -1, np.int32)
-        group_sample[: len(group_sample_l)] = group_sample_l
-        group_vocab[: len(group_vocab_l)] = group_vocab_l
-        group_valid = np.arange(g_pad) < len(group_strings)
 
         def decode(params, init_states, memories, origin, mem_mask, mem_grp,
                    mem_grp_mask, grp_sample, grp_vocab, grp_valid, start_tokens):
@@ -604,6 +623,188 @@ class GruCopyingDecoderModel(
                 else:
                     tokens.append(group_strings[wid - vocab_size])
             results.append((tokens, float(logps[bi])))
+        return results
+
+    def beam_decode(
+        self,
+        *,
+        beam_size: int,
+        input_concrete_values: List[str],
+        input_memories,
+        input_memories_origin_idx,
+        memory_mask,
+        initial_states,
+        params: Params,
+        neural_module: GruCopyingDecoder,
+        num_real_targets: Optional[int] = None,
+    ) -> List[List[Tuple[List[str], float]]]:
+        """Device-resident beam search (the reference only ships greedy,
+        grucopydecoder.py:375-457 — this is a beyond-parity capability).
+
+        Per sample, keeps the ``beam_size`` highest-logprob partial
+        sequences over the joint vocab ∪ copy-group candidate space (the
+        same exact full-vocabulary copy merge as the greedy decoder), runs
+        the whole search inside one ``lax.scan``, and backtracks the
+        (action, parent) trace on the host. Finished beams are frozen with
+        a zero-cost END self-transition so their scores stay comparable.
+        Returns, per sample, the beams best-first as (tokens, logprob).
+        """
+        assert beam_size >= 1
+        k = beam_size
+        output_vocab = self.__output_vocabulary
+        b_pad = initial_states.shape[0]
+        batch_size = int(num_real_targets) if num_real_targets is not None else b_pad
+        vocab_size = neural_module.vocabulary_size
+        end_id = output_vocab.get_id_or_unk(self.END)
+        unk_id = neural_module.unk_id
+        s = self.max_seq_len
+
+        (
+            mem_group, mem_group_mask, group_sample, group_vocab, group_valid,
+            group_strings, g_pad, m_pad,
+        ) = self._build_copy_groups(
+            input_concrete_values, input_memories_origin_idx, memory_mask,
+            batch_size, b_pad, unk_id,
+        )
+        n_cand = vocab_size + g_pad
+
+        def decode(params, init_states, memories, origin, mem_mask, mem_grp,
+                   mem_grp_mask, grp_sample, grp_vocab, grp_valid, start_tokens):
+            neg_inf = jnp.float32(-jnp.inf)
+            in_vocab = jnp.logical_and(grp_valid, grp_vocab >= 0)
+            flat_idx = jnp.where(
+                in_vocab, grp_sample * vocab_size + jnp.maximum(grp_vocab, 0),
+                b_pad * vocab_size,
+            )
+            oov_mask = jnp.logical_and(grp_valid, grp_vocab < 0)
+            sample_onehot = (
+                grp_sample[None, :] == jnp.arange(b_pad, dtype=jnp.int32)[:, None]
+            )
+
+            def cand_logprobs(states, next_tokens):
+                """One beam's merged candidate logprobs [B_pad, V+G]."""
+                copy_lp, target_lp, states = neural_module._compute_logprobs(
+                    params, states, memories, origin, mem_mask, next_tokens
+                )
+                copy_lp = copy_lp[:, 0]
+                target_lp = target_lp[:, 0]
+                group_copy = segment_logsumexp(
+                    copy_lp, mem_grp, g_pad, mask=mem_grp_mask
+                )
+                copy_into_vocab = segment_logsumexp(
+                    group_copy, flat_idx, b_pad * vocab_size, mask=in_vocab
+                ).reshape(b_pad, vocab_size)
+                merged_vocab = jnp.logaddexp(target_lp, copy_into_vocab)
+                oov_scores = jnp.where(
+                    jnp.logical_and(sample_onehot, oov_mask[None, :]),
+                    group_copy[None, :],
+                    neg_inf,
+                )
+                return jnp.concatenate([merged_vocab, oov_scores], axis=1), states
+
+            def step(carry, _):
+                states, toks, done, scores = carry  # [k,B,H] [k,B,1] [k,B] [k,B]
+                cand, new_states = jax.vmap(cand_logprobs)(states, toks)  # [k,B,nc]
+                # finished beams: only a zero-cost END self-transition
+                frozen = jnp.full_like(cand, neg_inf).at[:, :, end_id].set(0.0)
+                cand = jnp.where(done[:, :, None], frozen, cand)
+                total = scores[:, :, None] + cand  # [k,B,nc]
+                flat = jnp.transpose(total, (1, 0, 2)).reshape(b_pad, k * n_cand)
+                top_scores, top_idx = jax.lax.top_k(flat, k)  # [B,k] sorted
+                parent = (top_idx // n_cand).astype(jnp.int32)  # [B,k]
+                action = (top_idx % n_cand).astype(jnp.int32)  # [B,k]
+                ns = jnp.transpose(new_states, (1, 0, 2))  # [B,k,H]
+                sel_states = jnp.take_along_axis(ns, parent[:, :, None], axis=1)
+                parent_done = jnp.take_along_axis(done.T, parent, axis=1)  # [B,k]
+                is_vocab = action < vocab_size
+                feed = jnp.where(is_vocab, action, unk_id)
+                chose_end = jnp.logical_and(is_vocab, action == end_id)
+                new_done = jnp.logical_or(parent_done, chose_end)
+                carry = (
+                    jnp.transpose(sel_states, (1, 0, 2)),
+                    jnp.where(new_done, end_id, feed).T[:, :, None].astype(jnp.int32),
+                    new_done.T,
+                    top_scores.T,
+                )
+                emit = jnp.where(parent_done, -1, action)  # [B,k]
+                return carry, (emit, parent)
+
+            init = (
+                jnp.broadcast_to(init_states, (k,) + init_states.shape),
+                jnp.broadcast_to(start_tokens, (k,) + start_tokens.shape),
+                jnp.zeros((k, b_pad), bool),
+                # only beam 0 is live at step 0 (all beams start identical)
+                jnp.concatenate(
+                    [
+                        jnp.zeros((1, b_pad), jnp.float32),
+                        jnp.full((k - 1, b_pad), neg_inf),
+                    ]
+                )
+                if k > 1
+                else jnp.zeros((1, b_pad), jnp.float32),
+            )
+            (_, _, _, scores), (emits, parents) = jax.lax.scan(
+                step, init, None, length=s
+            )
+            # scores [k,B]: the LAST top_k already sorted each sample's beams
+            return emits, parents, scores.T  # [S,B,k], [S,B,k], [B,k]
+
+        start_tokens = jnp.full(
+            (b_pad, 1), output_vocab.get_id_or_unk(self.START), jnp.int32
+        )
+        cache_key = (
+            "beam", id(neural_module), k, b_pad, m_pad, g_pad, vocab_size, s,
+            end_id, unk_id, tuple(np.shape(input_memories)),
+            tuple(np.shape(initial_states)),
+        )
+        cache = getattr(self, "_decode_jit_cache", None)
+        if cache is None:
+            cache = {}
+            self._decode_jit_cache = cache
+        jitted = cache.get(cache_key)
+        if jitted is None:
+            jitted = jax.jit(decode)
+            cache[cache_key] = jitted
+        emits, parents, scores = jitted(
+            params,
+            initial_states,
+            input_memories,
+            jnp.asarray(input_memories_origin_idx),
+            jnp.asarray(memory_mask),
+            jnp.asarray(mem_group),
+            jnp.asarray(mem_group_mask),
+            jnp.asarray(group_sample),
+            jnp.asarray(group_vocab),
+            jnp.asarray(group_valid),
+            start_tokens,
+        )
+        emits = np.asarray(emits)  # [S, B, k]
+        parents = np.asarray(parents)
+        scores = np.asarray(scores)  # [B, k] best-first
+
+        results: List[List[Tuple[List[str], float]]] = []
+        for bi in range(batch_size):
+            beams: List[Tuple[List[str], float]] = []
+            for rank in range(k):
+                # backtrack the (action, parent) trace from the last step
+                actions: List[int] = []
+                idx = rank
+                for t in range(s - 1, -1, -1):
+                    actions.append(int(emits[t, bi, idx]))
+                    idx = int(parents[t, bi, idx])
+                actions.reverse()
+                tokens: List[str] = []
+                for wid in actions:
+                    if wid < 0:  # frozen-done placeholder
+                        break
+                    if wid < vocab_size:
+                        if wid == end_id:
+                            break
+                        tokens.append(output_vocab.get_name_for_id(wid))
+                    else:
+                        tokens.append(group_strings[wid - vocab_size])
+                beams.append((tokens, float(scores[bi, rank])))
+            results.append(beams)
         return results
 
     def _greedy_decode_host(

@@ -318,3 +318,58 @@ def test_device_decode_matches_host_decode():
     for (h_toks, h_lp), (d_toks, d_lp) in zip(host, dev):
         assert h_toks == d_toks, (h_toks, d_toks)
         np.testing.assert_allclose(d_lp, h_lp, rtol=1e-4, atol=1e-4)
+
+
+def test_beam_decode_beam1_matches_greedy_and_beams_are_sorted():
+    """beam_size=1 must reproduce the greedy decoder token for token; wider
+    beams return per-sample beams sorted best-first, and the top beam never
+    scores below greedy (greedy's step-1 prefix is always in the beam)."""
+    model, data, inputs = build_case()
+    module = model.build_neural_module()
+    params = module.init(jax.random.PRNGKey(7))
+
+    rng = np.random.RandomState(5)
+    counts = [len(i) for i in inputs]
+    M_real = sum(counts)
+    D, H = 7, 8
+    memories = rng.randn(M_real, D).astype(np.float32)
+    init_states = rng.randn(len(data), H).astype(np.float32)
+    origin = np.concatenate([[b] * c for b, c in enumerate(counts)]).astype(np.int32)
+
+    B_pad, M_pad = 5, 16
+    mem_pad = np.zeros((M_pad, D), np.float32)
+    mem_pad[:M_real] = memories
+    origin_pad = np.full(M_pad, B_pad, np.int32)
+    origin_pad[:M_real] = origin
+    mem_mask = np.arange(M_pad) < M_real
+    init_pad = np.zeros((B_pad, H), np.float32)
+    init_pad[: len(data)] = init_states
+
+    flat_values = [v for inp in inputs for v in inp]
+    kwargs = dict(
+        input_concrete_values=flat_values,
+        input_memories=jnp.asarray(mem_pad),
+        input_memories_origin_idx=jnp.asarray(origin_pad),
+        memory_mask=jnp.asarray(mem_mask),
+        initial_states=jnp.asarray(init_pad),
+        params=params,
+        neural_module=module,
+        num_real_targets=3,
+    )
+    greedy = model.greedy_decode(**kwargs, device_resident=True)
+    beam1 = model.beam_decode(beam_size=1, **kwargs)
+    assert len(beam1) == 3
+    for (g_toks, g_lp), beams in zip(greedy, beam1):
+        assert len(beams) == 1
+        assert beams[0][0] == g_toks, (beams[0][0], g_toks)
+        np.testing.assert_allclose(beams[0][1], g_lp, rtol=1e-5, atol=1e-5)
+
+    beam4 = model.beam_decode(beam_size=4, **kwargs)
+    for (g_toks, g_lp), beams in zip(greedy, beam4):
+        assert len(beams) == 4
+        lps = [lp for _, lp in beams]
+        assert lps == sorted(lps, reverse=True), lps
+        assert lps[0] >= g_lp - 1e-4, (lps[0], g_lp)
+        # beams are distinct sequences (no duplicate survivors)
+        seqs = [tuple(t) for t, _ in beams if np.isfinite(_)]
+        assert len(set(seqs)) == len(seqs), seqs
