@@ -397,6 +397,8 @@ class GruCopyingDecoderModel(
         num_real_targets: Optional[int] = None,
         device_resident: bool = True,
         top_k: int = 100,
+        temperature: float = 0.0,
+        rng: Optional[jax.Array] = None,
     ) -> List[Tuple[List[str], float]]:
         """Greedy decoding with copy-by-string merging.
 
@@ -408,6 +410,11 @@ class GruCopyingDecoderModel(
 
         ``device_resident=False`` keeps the reference-shaped host loop
         (top-``top_k`` vocab merge) as the behavioral oracle.
+
+        ``temperature > 0`` switches the device path from argmax to
+        Gumbel-max sampling over the same joint distribution (requires
+        ``rng``); reported logprobs are the true scores of the sampled
+        actions.
         """
         if device_resident:
             return self._greedy_decode_device(
@@ -419,7 +426,10 @@ class GruCopyingDecoderModel(
                 params=params,
                 neural_module=neural_module,
                 num_real_targets=num_real_targets,
+                temperature=temperature,
+                rng=rng,
             )
+        assert temperature == 0.0, "sampling is only implemented device-resident"
         return self._greedy_decode_host(
             input_concrete_values=input_concrete_values,
             input_memories=input_memories,
@@ -496,6 +506,8 @@ class GruCopyingDecoderModel(
         params: Params,
         neural_module: GruCopyingDecoder,
         num_real_targets: Optional[int] = None,
+        temperature: float = 0.0,
+        rng: Optional[jax.Array] = None,
     ) -> List[Tuple[List[str], float]]:
         """Device-resident decode: host precomputes per-memory string-group
         ids (one group per distinct concrete string per sample), the device
@@ -517,8 +529,11 @@ class GruCopyingDecoderModel(
             batch_size, b_pad, unk_id,
         )
 
+        temp = float(temperature)
+
         def decode(params, init_states, memories, origin, mem_mask, mem_grp,
-                   mem_grp_mask, grp_sample, grp_vocab, grp_valid, start_tokens):
+                   mem_grp_mask, grp_sample, grp_vocab, grp_valid, start_tokens,
+                   step_keys):
             neg_inf = jnp.float32(-jnp.inf)
             in_vocab = jnp.logical_and(grp_valid, grp_vocab >= 0)
             # flat (sample, vocab) index per in-vocab group; OOR for others
@@ -532,7 +547,7 @@ class GruCopyingDecoderModel(
                 grp_sample[None, :] == jnp.arange(b_pad, dtype=jnp.int32)[:, None]
             )
 
-            def step(carry, _):
+            def step(carry, key):
                 states, next_tokens, done, logps = carry
                 copy_lp, target_lp, states = neural_module._compute_logprobs(
                     params, states, memories, origin, mem_mask, next_tokens
@@ -554,7 +569,17 @@ class GruCopyingDecoderModel(
                     neg_inf,
                 )  # [B_pad, G_pad]
                 cand = jnp.concatenate([merged_vocab, oov_scores], axis=1)
-                winner = jnp.argmax(cand, axis=1)  # [B_pad]
+                if temp > 0.0:
+                    # Gumbel-max: argmax(cand + T*gumbel) samples
+                    # proportionally to exp(cand / T); -inf (masked)
+                    # candidates stay -inf. logps still accumulate the TRUE
+                    # logprob of the sampled action.
+                    u = jax.random.uniform(key, cand.shape, minval=1e-20, maxval=1.0)
+                    gumbel = -jnp.log(-jnp.log(u))
+                    choose = cand + jnp.asarray(temp, cand.dtype) * gumbel
+                else:
+                    choose = cand
+                winner = jnp.argmax(choose, axis=1)  # [B_pad]
                 winner_score = jnp.take_along_axis(cand, winner[:, None], axis=1)[:, 0]
                 is_vocab_win = winner < vocab_size
                 feed = jnp.where(is_vocab_win, winner, unk_id).astype(jnp.int32)
@@ -571,7 +596,7 @@ class GruCopyingDecoderModel(
                 jnp.zeros((b_pad,), bool),
                 jnp.zeros((b_pad,), jnp.float32),
             )
-            (_, _, _, logps), emitted = jax.lax.scan(step, init, None, length=s)
+            (_, _, _, logps), emitted = jax.lax.scan(step, init, step_keys)
             return emitted, logps  # [S, B_pad], [B_pad]
 
         start_tokens = jnp.full(
@@ -581,9 +606,15 @@ class GruCopyingDecoderModel(
         # depends on these statics (plus neural_module/self config), so a
         # fresh jit per call would re-trace and re-compile the whole
         # max_seq_len-step loop for every evaluation batch.
+        if temp > 0.0:
+            assert rng is not None, "sampling (temperature > 0) needs an rng key"
+            step_keys = jax.random.split(rng, s)
+        else:
+            step_keys = jnp.zeros((s, 2), jnp.uint32)
         cache_key = (
             id(neural_module), b_pad, m_pad, g_pad, vocab_size, s, end_id,
-            unk_id, tuple(np.shape(input_memories)), tuple(np.shape(initial_states)),
+            unk_id, temp, tuple(np.shape(input_memories)),
+            tuple(np.shape(initial_states)),
         )
         cache = getattr(self, "_decode_jit_cache", None)
         if cache is None:
@@ -605,6 +636,7 @@ class GruCopyingDecoderModel(
             jnp.asarray(group_vocab),
             jnp.asarray(group_valid),
             start_tokens,
+            step_keys,
         )
         emitted = np.asarray(emitted)  # the ONLY device->host transfer
         logps = np.asarray(logps)

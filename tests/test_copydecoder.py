@@ -364,6 +364,26 @@ def test_beam_decode_beam1_matches_greedy_and_beams_are_sorted():
         assert beams[0][0] == g_toks, (beams[0][0], g_toks)
         np.testing.assert_allclose(beams[0][1], g_lp, rtol=1e-5, atol=1e-5)
 
+    # temperature sampling: seed-deterministic, near-zero temperature
+    # reproduces greedy, and reported logprobs are true action scores
+    import jax as _jax
+
+    cold = model.greedy_decode(
+        **kwargs, device_resident=True, temperature=1e-6, rng=_jax.random.PRNGKey(0)
+    )
+    for (g_toks, g_lp), (c_toks, c_lp) in zip(greedy, cold):
+        assert c_toks == g_toks
+        np.testing.assert_allclose(c_lp, g_lp, rtol=1e-5, atol=1e-5)
+    s1 = model.greedy_decode(
+        **kwargs, device_resident=True, temperature=1.0, rng=_jax.random.PRNGKey(3)
+    )
+    s2 = model.greedy_decode(
+        **kwargs, device_resident=True, temperature=1.0, rng=_jax.random.PRNGKey(3)
+    )
+    assert s1 == s2  # same seed -> same samples
+    for (toks, lp) in s1:
+        assert np.isfinite(lp) and lp <= 1e-6  # logprobs of real actions
+
     beam4 = model.beam_decode(beam_size=4, **kwargs)
     for (g_toks, g_lp), beams in zip(greedy, beam4):
         assert len(beams) == 4
