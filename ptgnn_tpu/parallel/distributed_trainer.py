@@ -84,10 +84,6 @@ class DistributedModelTrainer(ModelTrainer):
         self._train_step_fn = self._dp.build_train_step()
         self._eval_step_fn = self._dp.build_eval_step()
         if self._grad_accum_steps > 1:
-            assert jax.process_count() == 1, (
-                "gradient accumulation is supported on single-controller "
-                "meshes; under multi-host grow the data axis instead"
-            )
             self._build_dp_accumulating_step()
 
     def _build_dp_accumulating_step(self):
@@ -99,14 +95,23 @@ class DistributedModelTrainer(ModelTrainer):
         k = self._grad_accum_steps
         grad_step, apply_step = self._dp.build_accum_steps()
         self._apply_accum_fn = apply_step
+        # Build the accumulator INSIDE jit so its arrays inherit the params'
+        # (global, replicated) shardings — a host-created zeros tree could
+        # not mix with multi-host global arrays.
+        zeros_init = jax.jit(
+            lambda p: (
+                jax.tree_util.tree_map(
+                    lambda x: jnp.zeros(jnp.shape(x), jnp.float32), p
+                ),
+                jnp.zeros((), jnp.float32),
+            )
+        )
 
         def accumulating(params, opt_state, stacked_mb, rng, lr_factor, weights):
             state = self._grad_accum_state
             if state is None:
-                acc = jax.tree_util.tree_map(
-                    lambda p: jnp.zeros(jnp.shape(p), jnp.float32), params
-                )
-                w_acc, count = jnp.float32(0.0), 0
+                acc, w_acc = zeros_init(params)
+                count = 0
             else:
                 acc, w_acc, count = state
             acc, w_acc, loss, metrics = grad_step(

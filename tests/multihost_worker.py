@@ -17,6 +17,8 @@ REPO = Path(__file__).parent.parent
 def main() -> None:
     pid, nproc = int(sys.argv[1]), int(sys.argv[2])
     coordinator, outdir = sys.argv[3], Path(sys.argv[4])
+    accum = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+    epochs = int(sys.argv[6]) if len(sys.argv) > 6 else 16
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
     )
@@ -58,8 +60,9 @@ def main() -> None:
     trainer = DistributedModelTrainer(
         SimpleRegressionModel(),
         outdir / "model.pkl.gz",
-        max_num_epochs=16,
+        max_num_epochs=epochs,
         minibatch_size=64,
+        gradient_accumulation_steps=accum,
         optimizer_creator=lambda: optax.adam(1e-2),
     )
     trainer.train(
@@ -67,7 +70,7 @@ def main() -> None:
         LazyDataIterable(lambda: iter(valid)),
         parallelize=False,
         validate_on_start=False,
-        patience=16,
+        patience=epochs,
     )
 
     params_np = jax.tree_util.tree_map(np.asarray, trainer.params)

@@ -22,8 +22,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_training_converges_identically():
+def _run_two_process(extra_args=()):
     import os
 
     outdir = Path(tempfile.mkdtemp())
@@ -36,7 +35,8 @@ def test_two_process_training_converges_identically():
     worker = Path(__file__).parent / "multihost_worker.py"
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(pid), "2", coordinator, str(outdir)],
+            [sys.executable, str(worker), str(pid), "2", coordinator, str(outdir)]
+            + list(extra_args),
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
             cwd=str(Path(__file__).parent.parent),
         )
@@ -45,12 +45,27 @@ def test_two_process_training_converges_identically():
     outs = [p.communicate(timeout=600) for p in procs]
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
-
-    results = [
+    return [
         json.loads((outdir / f"result_{pid}.json").read_text()) for pid in range(2)
     ]
+
+
+@pytest.mark.slow
+def test_two_process_training_converges_identically():
+    results = _run_two_process()
     # Replicated parameters must be bitwise-identical across hosts.
     assert results[0]["checksum"] == results[1]["checksum"], results
     assert results[0]["accuracy"] == results[1]["accuracy"], results
     # And training on the full (uneven) shards must actually learn.
     assert results[0]["accuracy"] > 0.93, results
+
+
+@pytest.mark.slow
+def test_two_process_gradient_accumulation():
+    """Multi-host + gradient accumulation: the accumulator is built inside
+    jit with the params' global shardings, so the two hosts stay in
+    lockstep and converge to bitwise-identical parameters."""
+    results = _run_two_process(extra_args=("2", "10"))  # accum=2, 10 epochs
+    assert results[0]["checksum"] == results[1]["checksum"], results
+    assert results[0]["accuracy"] == results[1]["accuracy"], results
+    assert results[0]["accuracy"] > 0.85, results

@@ -55,6 +55,18 @@ def main():
             f"{B*model.max_seq_len/dt:.0f} steps/s)", flush=True,
         )
 
+    for k in (4,):  # one width: the k=8 scan's compile alone is minutes
+        model.beam_decode(beam_size=k, **kwargs)  # warm compile
+        t0 = time.time()
+        n_rounds = 10
+        for _ in range(n_rounds):
+            model.beam_decode(beam_size=k, **kwargs)
+        dt = (time.time() - t0) / n_rounds
+        print(
+            f"beam k={k}: {dt*1000:.1f} ms/batch ({B/dt:.0f} seqs/s, "
+            f"{B*k*model.max_seq_len/dt:.0f} beam-steps/s)", flush=True,
+        )
+
 
 if __name__ == "__main__":
     main()
