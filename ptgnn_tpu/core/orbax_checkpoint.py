@@ -52,7 +52,17 @@ class OrbaxCheckpointer:
 
     def __init__(self, directory, *, max_to_keep: Optional[int] = 3):
         ocp = _ocp()
-        self._dir = Path(directory).absolute()
+        from etils import epath
+
+        # epath handles both local paths and URI stores (gs://, s3 via
+        # fsspec); a plain pathlib.Path would mangle "gs://bucket" into a
+        # LOCAL "<cwd>/gs:/bucket" directory. Only local paths are
+        # absolutized (orbax requires absolute local directories).
+        directory = str(directory)
+        if "://" in directory:
+            self._dir = epath.Path(directory)
+        else:
+            self._dir = epath.Path(Path(directory).absolute())
         self._dir.mkdir(parents=True, exist_ok=True)
         self._mgr = ocp.CheckpointManager(
             self._dir,
@@ -85,8 +95,12 @@ class OrbaxCheckpointer:
         if model is not None and _is_coordinator():
             # Sibling file, NOT inside the step directory: orbax owns that
             # path and atomically renames its tmp dir over it on commit.
-            with gzip.open(self._model_blob_path(step), "wb") as f:
-                pickle.dump(model, f)
+            # epath .open works for local paths and URI stores alike.
+            with self._model_blob_path(step).open("wb") as raw:
+                with gzip.GzipFile(fileobj=raw, mode="wb") as f:
+                    pickle.dump(model, f)
+        if _is_coordinator():
+            self._evict_orphan_model_blobs()
         if wait:
             self.wait()
 
@@ -139,14 +153,32 @@ class OrbaxCheckpointer:
         restored = self._mgr.restore(step, args=ocp.args.Composite(**items))
         return restored["params"], restored.get("opt_state"), step
 
-    def _model_blob_path(self, step: int) -> Path:
+    def _model_blob_path(self, step: int):
         return self._dir / f"{step}.{_MODEL_BLOB}"
+
+    def _evict_orphan_model_blobs(self) -> None:
+        """Delete model sidecars whose tensor step was evicted by retention
+        (CheckpointManager only garbage-collects its own step dirs)."""
+        kept = {str(s) for s in self._mgr.all_steps()}
+        suffix = f".{_MODEL_BLOB}"
+        try:
+            blobs = list(self._dir.glob(f"*{suffix}"))
+        except Exception:  # pragma: no cover - store without glob support
+            return
+        for blob in blobs:
+            step_str = blob.name[: -len(suffix)]
+            if step_str not in kept:
+                try:
+                    blob.unlink()
+                except OSError:  # pragma: no cover
+                    pass
 
     def restore_model(self, step: Optional[int] = None) -> Any:
         """Load the pickled host-side model object saved alongside ``step``."""
         step = self._mgr.latest_step() if step is None else step
-        with gzip.open(self._model_blob_path(step), "rb") as f:
-            return pickle.load(f)
+        with self._model_blob_path(step).open("rb") as raw:
+            with gzip.GzipFile(fileobj=raw, mode="rb") as f:
+                return pickle.load(f)
 
     def close(self) -> None:
         self.wait()

@@ -49,18 +49,32 @@ class AbstractScheduler(Protocol):
         ...
 
 
-def _prefetch_device_batches(iterator, size: int):
+def _prefetch_device_batches(iterator, size: int, catch_oom: bool = False):
     """Keep ``size`` minibatches in flight on the device.
 
     JAX transfers are asynchronous, so issuing the NEXT batch's device_put
     before consuming the current one overlaps host->device copies with the
     running step instead of paying them on the step's critical path.
-    Yields the same (minibatch, raw_samples) pairs, in order."""
+    Yields the same (minibatch, raw_samples) pairs, in order.
+
+    ``catch_oom``: a RESOURCE_EXHAUSTED raised by the transfer itself skips
+    that batch (matching catch_device_ooms semantics — this generator runs
+    outside the step loop's try block)."""
     from collections import deque
+
+    from ptgnn_tpu.utils.oom import is_oom_error
 
     buf = deque()
     for mb, raw in iterator:
-        buf.append((jax.device_put(mb), raw))
+        try:
+            buf.append((jax.device_put(mb), raw))
+        except RuntimeError as error:
+            if not (catch_oom and is_oom_error(error)):
+                raise
+            logging.getLogger(__name__).exception(
+                "Device OOM while prefetching a minibatch; skipping it."
+            )
+            continue
         if len(buf) >= size:
             yield buf.popleft()
     while buf:
@@ -299,7 +313,18 @@ class ModelTrainer:
 
         def accumulating_train_step(params, opt_state, minibatch, rng, lr_factor):
             acc, count = self._grad_accum_state or (zeros_like_grads(params), 0)
-            acc, loss, metrics = grad_step_j(params, acc, minibatch, rng)
+            try:
+                acc, loss, metrics = grad_step_j(params, acc, minibatch, rng)
+                # Surface lazy device errors (RESOURCE_EXHAUSTED) HERE: the
+                # previous accumulator was donated into this call, so a
+                # failure that escaped to the epoch loop's catch would leave
+                # self._grad_accum_state pointing at poisoned buffers.
+                float(loss)
+            except RuntimeError:
+                # Drop the whole partial group — its prior microbatches'
+                # gradients lived in the donated accumulator.
+                self._grad_accum_state = None
+                raise
             count += 1
             if count >= k:
                 params, opt_state = apply_step_j(
@@ -356,9 +381,18 @@ class ModelTrainer:
             parallelize=parallelize,
         )
         if self._prefetch_to_device > 1:
-            mb_iter = _prefetch_device_batches(mb_iter, self._prefetch_to_device)
+            mb_iter = _prefetch_device_batches(
+                mb_iter, self._prefetch_to_device,
+                catch_oom=self._catch_device_ooms,
+            )
         for step_idx, (mb_data, raw_samples) in enumerate(mb_iter):
-            lr_factor = 1.0 if scheduler is None else scheduler.step(epoch, step_idx)
+            # Schedules are in OPTIMIZER-step units (core/schedulers.py):
+            # under gradient accumulation, k microbatches share one index.
+            lr_factor = (
+                1.0
+                if scheduler is None
+                else scheduler.step(epoch, step_idx // self._grad_accum_steps)
+            )
             from ptgnn_tpu.utils.oom import is_oom_error
 
             try:

@@ -229,20 +229,30 @@ class Graph2Seq(AbstractNeuralModel[CodeGraph2Seq, TensorizedGraph2Seq, Graph2Se
         )
         return {"batch": encoder["batch"], **decoder}
 
-    def greedy_decode(
+    def _decode_minibatches(
         self,
         data: List[CodeGraph2Seq],
         params: Params,
         trained_network: Graph2SeqModule,
-        max_minibatch_size: int = 50,
-    ) -> List[Tuple[List[str], float]]:
-        """(reference: graph2seq.py:175-205)"""
-        encode = jax.jit(
-            lambda params, batch: trained_network._encode(params, batch, train=False, rng=None)[
-                :4
-            ]
-        )
-        decoded_sequences: List[Tuple[List[str], float]] = []
+        decode_fn,
+        max_minibatch_size: int,
+    ) -> List:
+        """Shared encode-then-decode loop: jitted GNN encode per minibatch
+        (cached per network object), then ``decode_fn(kwargs)`` on the
+        decoder inputs. Used by greedy_decode and beam_decode."""
+        cache = getattr(self, "_encode_jit_cache", None)
+        if cache is None:
+            cache = {}
+            self._encode_jit_cache = cache
+        encode = cache.get(id(trained_network))
+        if encode is None:
+            encode = jax.jit(
+                lambda params, batch: trained_network._encode(
+                    params, batch, train=False, rng=None
+                )[:4]
+            )
+            cache[id(trained_network)] = encode
+        decoded: List = []
         for mb_data, input_data in self.minibatch_iterator(
             self.tensorize_dataset(iter(data), return_input_data=True),
             max_minibatch_size=max_minibatch_size,
@@ -254,8 +264,8 @@ class Graph2Seq(AbstractNeuralModel[CodeGraph2Seq, TensorizedGraph2Seq, Graph2Se
                     sample["node_labels"][k].lower() for k in sample["backbone_sequence"]
                 )
             memories, origin, memory_mask, initial_states = encode(params, mb_data["batch"])
-            decoded_sequences.extend(
-                self.__decoder_model.greedy_decode(
+            decoded.extend(
+                decode_fn(
                     input_concrete_values=input_concrete_values,
                     input_memories=memories,
                     input_memories_origin_idx=origin,
@@ -266,8 +276,21 @@ class Graph2Seq(AbstractNeuralModel[CodeGraph2Seq, TensorizedGraph2Seq, Graph2Se
                     num_real_targets=len(input_data),
                 )
             )
-        assert len(decoded_sequences) == len(data)
-        return decoded_sequences
+        assert len(decoded) == len(data)
+        return decoded
+
+    def greedy_decode(
+        self,
+        data: List[CodeGraph2Seq],
+        params: Params,
+        trained_network: Graph2SeqModule,
+        max_minibatch_size: int = 50,
+    ) -> List[Tuple[List[str], float]]:
+        """(reference: graph2seq.py:175-205)"""
+        return self._decode_minibatches(
+            data, params, trained_network,
+            self.__decoder_model.greedy_decode, max_minibatch_size,
+        )
 
     def beam_decode(
         self,
@@ -281,35 +304,10 @@ class Graph2Seq(AbstractNeuralModel[CodeGraph2Seq, TensorizedGraph2Seq, Graph2Se
         reference, which only ships greedy (graph2seq.py:175-205). Returns
         per sample the ``beam_size`` best sequences with logprobs,
         best-first."""
-        encode = jax.jit(
-            lambda params, batch: trained_network._encode(params, batch, train=False, rng=None)[
-                :4
-            ]
+        import functools
+
+        return self._decode_minibatches(
+            data, params, trained_network,
+            functools.partial(self.__decoder_model.beam_decode, beam_size=beam_size),
+            max_minibatch_size,
         )
-        decoded: List[List[Tuple[List[str], float]]] = []
-        for mb_data, input_data in self.minibatch_iterator(
-            self.tensorize_dataset(iter(data), return_input_data=True),
-            max_minibatch_size=max_minibatch_size,
-        ):
-            input_concrete_values: List[str] = []
-            for sample in input_data:
-                sample = enforce_not_None(sample)
-                input_concrete_values.extend(
-                    sample["node_labels"][k].lower() for k in sample["backbone_sequence"]
-                )
-            memories, origin, memory_mask, initial_states = encode(params, mb_data["batch"])
-            decoded.extend(
-                self.__decoder_model.beam_decode(
-                    beam_size=beam_size,
-                    input_concrete_values=input_concrete_values,
-                    input_memories=memories,
-                    input_memories_origin_idx=origin,
-                    memory_mask=memory_mask,
-                    initial_states=initial_states,
-                    params=params["decoder"],
-                    neural_module=trained_network.decoder,
-                    num_real_targets=len(input_data),
-                )
-            )
-        assert len(decoded) == len(data)
-        return decoded

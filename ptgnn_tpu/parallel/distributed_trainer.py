@@ -238,7 +238,12 @@ class DistributedModelTrainer(ModelTrainer):
                 )
             )
         ):
-            lr_factor = 1.0 if scheduler is None else scheduler.step(epoch, step_idx)
+            # optimizer-step units: k accumulated groups share one index
+            lr_factor = (
+                1.0
+                if scheduler is None
+                else scheduler.step(epoch, step_idx // self._grad_accum_steps)
+            )
             stacked_mb = self._dp.device_put_batch(stacked_mb)
             params, opt_state, loss, metrics = self._train_step_fn(
                 params, opt_state, stacked_mb, jax.random.fold_in(rng, step_idx),

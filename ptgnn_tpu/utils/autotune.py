@@ -103,17 +103,11 @@ def measure_padding(
     except Exception as e:  # candidate infeasible (budget too small, OOM, ...)
         return TuneResult(padding, 0.0, float("inf"), 0, 0, error=repr(e))
     assert minibatches, "build() returned no minibatches"
+    from ptgnn_tpu.parallel.dp import _cast_floats as _cast
+
     mb = jax.device_put(minibatches[0])
     opt = optimizer or optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
     opt_state = opt.init(params)
-
-    def _cast(tree, dtype):
-        return jax.tree_util.tree_map(
-            lambda x: x.astype(dtype)
-            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-            else x,
-            tree,
-        )
 
     def train_step(params, opt_state, mb, rng):
         def lf(p):

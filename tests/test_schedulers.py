@@ -44,6 +44,45 @@ def test_step_decay():
     np.testing.assert_allclose(s.step(5, 3), 0.01)
 
 
+def test_scheduler_steps_in_optimizer_units_under_accumulation(tmp_path):
+    """With gradient_accumulation_steps=k the schedule index must advance
+    once per OPTIMIZER step, not once per microbatch."""
+    import optax
+
+    from ptgnn_tpu.core import LazyDataIterable, ModelTrainer
+    from tests.test_trainer_lifecycle import SimpleRegressionModel, synthetic_data
+
+    calls = []
+
+    class Recording:
+        def step(self, epoch_idx, epoch_step):
+            calls.append((epoch_idx, epoch_step))
+            return 1.0
+
+    data = synthetic_data(np.random.RandomState(5), 640)
+    trainer = ModelTrainer(
+        SimpleRegressionModel(),
+        tmp_path / "m.pkl.gz",
+        max_num_epochs=1,
+        minibatch_size=64,
+        gradient_accumulation_steps=2,
+        optimizer_creator=lambda: optax.sgd(0.01),
+        scheduler_creator=Recording,
+    )
+    trainer.train(
+        LazyDataIterable(lambda: iter(data)),
+        LazyDataIterable(lambda: iter(data)),
+        parallelize=False,
+        validate_on_start=False,
+        patience=2,
+    )
+    steps = [t for e, t in calls if e == 0]
+    assert steps, calls
+    # 10 microbatches at k=2 -> optimizer-step indices 0,0,1,1,...,4,4
+    assert max(steps) == (len(steps) - 1) // 2, steps
+    assert steps == [i // 2 for i in range(len(steps))], steps
+
+
 def test_prefetch_preserves_order_and_content():
     items = [({"x": np.full((3,), i, np.float32)}, [f"raw{i}"]) for i in range(7)]
     out = list(_prefetch_device_batches(iter(items), size=3))
