@@ -115,14 +115,20 @@ class GraphBatcher:
         }
 
     def _graph_edge_arrays(
-        self, graph: TensorizedGraphData, offset: int, feature_offset: int = 0
+        self,
+        graph: TensorizedGraphData,
+        offset: int,
+        feature_offset: int = 0,
+        with_features: bool = True,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """All materialized edges of one graph (fwd + bwd + self), offset.
 
         The fourth array maps each edge to its index in the flattened
         per-graph forward-edge feature list (backward edges share the forward
         edge's index, self edges get -1; reference:
-        graphneuralnetwork.py:172-183)."""
+        graphneuralnetwork.py:172-183). ``with_features=False`` marks every
+        edge -1 — used for graphs WITHOUT edge features so their edges never
+        alias another graph's feature rows."""
         senders: List[np.ndarray] = []
         receivers: List[np.ndarray] = []
         types: List[np.ndarray] = []
@@ -134,8 +140,11 @@ class GraphBatcher:
                 continue
             src = src.astype(np.int32) + offset
             dst = dst.astype(np.int32) + offset
-            fidx = np.arange(fcursor, fcursor + len(src), dtype=np.int32)
-            fcursor += len(src)
+            if with_features:
+                fidx = np.arange(fcursor, fcursor + len(src), dtype=np.int32)
+                fcursor += len(src)
+            else:
+                fidx = np.full(len(src), -1, np.int32)
             senders.append(src)
             receivers.append(dst)
             types.append(np.full(len(src), t, np.int32))
@@ -175,6 +184,13 @@ class GraphBatcher:
         return slots
 
     def _merged_seg_counts(self, graph, offset) -> Dict[Tuple[int, int], int]:
+        # can_add -> extend call this back-to-back for the same (graph,
+        # offset); materializing + sorting the full edge set three times per
+        # admitted graph made batch assembly the host bottleneck. Memoize
+        # the last result (holding the graph object pins its id).
+        memo = getattr(self, "_seg_counts_memo", None)
+        if memo is not None and memo[0] is graph and memo[1] == offset:
+            return memo[2]
         _, receivers, types, _ = self._graph_edge_arrays(graph, offset)
         r = self.padding.agg_rows
         delta: Dict[Tuple[int, int], int] = {}
@@ -184,6 +200,7 @@ class GraphBatcher:
             for k, c in zip(uniq, cnt):
                 b, t = divmod(int(k), self.num_edge_types + 1)
                 delta[(b, t)] = int(c)
+        self._seg_counts_memo = (graph, offset, delta)
         return delta
 
     def can_add(self, graph: TensorizedGraphData, mb: Dict[str, Any]) -> bool:
@@ -209,14 +226,28 @@ class GraphBatcher:
         """Add a graph (caller must have checked can_add)."""
         offset = mb["num_nodes_in_mb"]
         graph_idx = len(mb["num_nodes_per_graph"])
+        # Feature numbering must mirror GraphNeuralNetworkModel's minibatch
+        # (gnn.py extends edge_data_mb ONLY for graphs carrying features):
+        # a featureless graph in a feature-tracking batch gets -1 slots and
+        # does NOT advance the cursor, otherwise every later graph's edges
+        # would gather ANOTHER graph's feature rows.
+        has_features = self.track_edge_features and graph.edge_features is not None
+        if has_features:
+            assert len(graph.edge_features) == graph.num_edges, (
+                f"graph has {graph.num_edges} forward edges but "
+                f"{len(graph.edge_features)} edge features — the flattened "
+                "feature list must hold exactly one entry per forward edge "
+                "in canonical type order"
+            )
         senders, receivers, types, feat_idx = self._graph_edge_arrays(
-            graph, offset, mb["num_features_in_mb"]
+            graph, offset, mb["num_features_in_mb"], with_features=has_features
         )
         mb["senders"].append(senders)
         mb["receivers"].append(receivers)
         mb["types"].append(types)
         mb["feature_idx"].append(feat_idx)
-        mb["num_features_in_mb"] += graph.num_edges
+        if has_features:
+            mb["num_features_in_mb"] += graph.num_edges
         for key, c in self._merged_seg_counts(graph, offset).items():
             mb["seg_counts"][key] = mb["seg_counts"].get(key, 0) + c
         mb["num_edges_in_mb"] += len(senders)
@@ -392,10 +423,10 @@ class GraphBatcher:
                 super_tile_row_blocks = np.ascontiguousarray(grouped[:, 0])
 
         def rows_row(granularity: int):
-            n = e_pad // granularity
-            return np.repeat(
-                local_rows.reshape(n, granularity), 8, axis=0
-            ).reshape(n * 8, granularity)
+            # shared with the plan builder so the sublane layout can't drift
+            from ptgnn_tpu.ops.pallas.segment_kernels import replicate_rows_sublanes
+
+            return replicate_rows_sublanes(local_rows, granularity)
 
         adjacency = AdjacencyStruct(
             senders=senders,
@@ -473,8 +504,12 @@ class GraphBatcher:
         offset = 0  # node id of the current graph's first node
         for n in num_nodes_per_graph:
             remaining = block - cursor % block
-            if n <= block and n > remaining:
-                cursor += remaining  # seal the block; start at the next one
+            if n > remaining and remaining < block:
+                # Seal the partial block: small graphs must fit whole in one
+                # block, and big graphs must START block-aligned so their
+                # chunks are full `block`-wide windows (the reference chunks
+                # each graph from its own start, selfattmessagepassing.py:59).
+                cursor += remaining
             order[cursor : cursor + n] = np.arange(offset, offset + n, dtype=np.int32)
             cursor += n
             if n > block and cursor % block:

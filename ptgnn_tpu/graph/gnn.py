@@ -328,7 +328,15 @@ class GraphNeuralNetworkModel(AbstractNeuralModel):
             # per-graph feature numbering (graph/batching.py).
             edge_features_flat = []
             for edge_type in self.__edge_idx_to_type:
-                for feat in datapoint.edge_features.get(edge_type, []):
+                feats = datapoint.edge_features.get(edge_type, [])
+                type_edges = len(datapoint.edges.get(edge_type, []) or [])
+                assert len(feats) == type_edges, (
+                    f"edge type '{edge_type}' has {type_edges} edges but "
+                    f"{len(feats)} edge features — a feature-tracking model "
+                    "needs exactly one feature per edge (or edge_features="
+                    "None for the whole graph)"
+                )
+                for feat in feats:
                     edge_features_flat.append(
                         enforce_not_None(self.__edge_embedding_model.tensorize(feat))
                     )

@@ -140,7 +140,11 @@ class AbstractMessagePassingLayer(Module):
             from ptgnn_tpu.ops.pallas.segment_kernels import adjacency_segment_reduce
 
             return adjacency_segment_reduce(
-                messages, adj, num_nodes, aggregation_fn, mask=adj.mask
+                messages, adj, num_nodes, aggregation_fn, mask=adj.mask,
+                # Static batch mask -> plan.counts already hold the masked
+                # degrees; mean skips its extra counting pass. Edge dropout
+                # flips edge_mask_is_static off (graph/gnn.py).
+                counts_exact=ctx.edge_mask_is_static,
             )
         return segment_reduce(
             messages,

@@ -175,7 +175,11 @@ def _fused_fwd_impl(
             num_nodes, is_max,
         )
         return vals.astype(msgs.dtype), args
-    out = adjacency_segment_reduce(msgs, adj, num_nodes, reduction, mask=adj.mask)
+    # Fusion requires the static batch mask (can_fuse), so plan.counts are
+    # exact — mean skips its runtime counting pass.
+    out = adjacency_segment_reduce(
+        msgs, adj, num_nodes, reduction, mask=adj.mask, counts_exact=True
+    )
     return out, None
 
 

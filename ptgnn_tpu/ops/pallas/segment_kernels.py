@@ -42,6 +42,18 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 3.0e38  # finite stand-in for +/- inf inside kernels (f32 max ~3.4e38)
 
 
+def replicate_rows_sublanes(local_rows: np.ndarray, granularity: int) -> np.ndarray:
+    """[E] per-slot local row ids -> the kernel's [n_tiles*8, granularity]
+    operand: each tile's row vector replicated over 8 sublanes so the (8, T)
+    VMEM block is a natural tile shape. This IS the kernel's BlockSpec
+    contract — the batcher (graph/batching.py) builds its layout through
+    this same helper so the two can't drift."""
+    n = local_rows.size // granularity
+    return np.repeat(
+        local_rows.reshape(n, granularity), 8, axis=0
+    ).reshape(n * 8, granularity)
+
+
 class AggregationPlan(NamedTuple):
     """Host-precomputed receiver-sorted layout (see build_aggregation_plan).
 
@@ -128,11 +140,10 @@ def build_aggregation_plan(
     counts = np.zeros(num_row_blocks * r, np.int32)
     np.add.at(counts, recv, 1)
 
-    rows_2d = local_rows.reshape(num_tiles, agg_tile)
     return AggregationPlan(
         perm=perm,
         local_rows=local_rows.reshape(num_tiles * agg_tile, 1),
-        local_rows_row=np.repeat(rows_2d, 8, axis=0).reshape(num_tiles * 8, agg_tile),
+        local_rows_row=replicate_rows_sublanes(local_rows, agg_tile),
         tile_row_blocks=tile_row_blocks,
         counts=counts.reshape(num_row_blocks, r),
     )
@@ -324,8 +335,8 @@ def _gather_sorted(data: jax.Array, plan: AggregationPlan, fill: float) -> jax.A
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def planned_segment_sum(data, receivers, plan, num_nodes: int, _mask_is_none: bool = True):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def planned_segment_sum(data, receivers, plan, num_nodes: int):
     """Segment sum over [E, D] data via the sorted one-hot-matmul kernel.
 
     ``data`` must already be zero at masked edges. ``receivers`` is only used
@@ -343,11 +354,11 @@ def planned_segment_sum(data, receivers, plan, num_nodes: int, _mask_is_none: bo
     return out[:num_nodes]
 
 
-def _planned_sum_fwd(data, receivers, plan, num_nodes, _m):
-    return planned_segment_sum(data, receivers, plan, num_nodes, _m), (receivers,)
+def _planned_sum_fwd(data, receivers, plan, num_nodes):
+    return planned_segment_sum(data, receivers, plan, num_nodes), (receivers,)
 
 
-def _planned_sum_bwd(num_nodes, _m, res, g):
+def _planned_sum_bwd(num_nodes, res, g):
     (receivers,) = res
     g_data = jnp.take(g, receivers, axis=0, mode="fill", fill_value=0.0)
     return g_data, None, None
@@ -372,6 +383,11 @@ def planned_segment_extremum(data, receivers, plan, num_nodes: int, is_max: bool
     counts = plan.counts.reshape(-1)[:num_nodes]
     empty = counts[:, None] == 0
     # All-contributions-masked rows also read as +/-_BIG; treat as empty.
+    # Numeric-domain assumption: legitimate inputs satisfy |x| < 1.5e38
+    # (half the +/-3e38 mask sentinel) — values beyond that are
+    # indistinguishable from masked fills and clamp to the torch-scatter
+    # empty-segment 0. bf16/f32 activations in any trained model are far
+    # below this; only pre-overflow garbage reaches the bound.
     degenerate = jnp.abs(out) >= _BIG / 2
     return jnp.where(jnp.logical_or(empty, degenerate), 0.0, out)
 
@@ -385,7 +401,7 @@ def _planned_ext_bwd(num_nodes, is_max, res, g):
     data, receivers, plan, out = res
     out_per_edge = jnp.take(out, receivers, axis=0, mode="fill", fill_value=_BIG)
     is_ext = (data == out_per_edge).astype(jnp.float32)
-    ties = planned_segment_sum(is_ext, receivers, plan, num_nodes, True)
+    ties = planned_segment_sum(is_ext, receivers, plan, num_nodes)
     ties_per_edge = jnp.take(
         jnp.maximum(ties, 1.0), receivers, axis=0, mode="fill", fill_value=1.0
     )
@@ -403,9 +419,15 @@ def planned_segment_reduce(
     num_nodes: int,
     reduction: str,
     mask: Optional[jax.Array] = None,
+    counts_exact: bool = False,
 ) -> jax.Array:
     """torch-scatter-compatible reduce over the fast path. Accumulates in
-    fp32 and casts back to data's dtype (AMP-safe, like ops.segment)."""
+    fp32 and casts back to data's dtype (AMP-safe, like ops.segment).
+
+    ``counts_exact``: the mask is the batch's STATIC edge mask, so
+    ``plan.counts`` already holds the per-node masked degree — mean skips
+    the extra full-grid counting pass it otherwise needs for runtime masks
+    (edge dropout)."""
     orig_dtype = data.dtype
     # bf16 stays bf16 through the gather and kernel input (half the HBM
     # traffic); accumulation is f32 either way.
@@ -414,9 +436,9 @@ def planned_segment_reduce(
     if reduction in ("sum", "add", "mean"):
         if mask is not None:
             data = jnp.where(mask[:, None], data, jnp.zeros((), data.dtype))
-        out = planned_segment_sum(data, receivers, plan, num_nodes, mask is None)
+        out = planned_segment_sum(data, receivers, plan, num_nodes)
         if reduction == "mean":
-            if mask is None:
+            if mask is None or counts_exact:
                 counts = plan.counts.reshape(-1)[:num_nodes].astype(jnp.float32)
             else:
                 # Runtime masks (edge dropout) change the divisor; count the
@@ -424,7 +446,7 @@ def planned_segment_reduce(
                 ones = jax.lax.stop_gradient(
                     jnp.broadcast_to(mask[:, None].astype(jnp.float32), (mask.shape[0], 8))
                 )
-                counts = planned_segment_sum(ones, receivers, plan, num_nodes, True)[:, 0]
+                counts = planned_segment_sum(ones, receivers, plan, num_nodes)[:, 0]
             out = out / jnp.maximum(counts, 1.0)[:, None]
     elif reduction in ("max", "min"):
         is_max = reduction == "max"
@@ -475,6 +497,7 @@ def adjacency_segment_reduce(
     num_nodes: int,
     reduction: str,
     mask: Optional[jax.Array] = None,
+    counts_exact: bool = False,
 ) -> jax.Array:
     """Fast masked segment reduce over a batch's unified edge layout.
 
@@ -490,7 +513,9 @@ def adjacency_segment_reduce(
     trailing = data.shape[1:]
     if data.ndim != 2:
         data = data.reshape(data.shape[0], -1)
-    out = planned_segment_reduce(data, adj.receivers, plan, num_nodes, reduction, mask)
+    out = planned_segment_reduce(
+        data, adj.receivers, plan, num_nodes, reduction, mask, counts_exact
+    )
     if trailing != out.shape[1:]:
         out = out.reshape((num_nodes,) + trailing)
     return out
@@ -853,6 +878,13 @@ def planned_segment_extremum_with_argmax(
     per (node, feature) ([num_nodes, D] int32, -1 for empty). Not
     differentiated directly — callers implement routing themselves."""
     del receivers
+    # Slot ids travel through the f32 selection matmul: above 2^24 they lose
+    # integer precision and the single-winner backward routes cotangents to
+    # the wrong edge. Fail loudly instead.
+    assert plan.local_rows.shape[0] < (1 << 24), (
+        f"argmax routing supports < 2^24 edge slots "
+        f"(got {plan.local_rows.shape[0]}): f32 index carriage"
+    )
     num_tiles = plan.tile_row_blocks.shape[0]
     agg_tile = plan.local_rows.shape[0] // num_tiles
     num_row_blocks, r = plan.counts.shape

@@ -385,6 +385,47 @@ def test_att_order_packs_each_graph_into_one_block():
         offset += n
 
 
+def test_att_order_big_graphs_start_block_aligned():
+    """A graph larger than att_block must start at a block boundary so its
+    chunks are full block-wide windows (reference chunks each graph from its
+    own start, selfattmessagepassing.py:59-75) — its leading nodes must not
+    share a truncated block with a previous graph."""
+    from ptgnn_tpu.graph.batching import GraphBatcher
+    from ptgnn_tpu.graph.structs import BatchPadding, TensorizedGraphData
+
+    pad = BatchPadding(
+        max_nodes=64, max_edge_slots=2048, max_graphs=4, edge_tile=32,
+        agg_rows=32, att_block=8,
+    )
+    b = GraphBatcher(1, pad, introduce_backwards_edges=False, add_self_edges=False)
+    mb = b.initialize()
+    sizes = (5, 19, 3)  # small, BIG (>2 blocks), small
+    offset_nodes = []
+    for n in sizes:
+        src = np.arange(n - 1, dtype=np.int32)
+        g = TensorizedGraphData(
+            num_nodes=n, node_tensorized_data=[0] * n,
+            adjacency_lists=[(src, src + 1)], edge_features=None,
+            reference_nodes={},
+        )
+        assert b.can_add(g, mb)
+        b.extend(g, mb)
+    batch = b.finalize(mb, node_data={}, reference_names=[])
+    order = np.asarray(batch.att_order)
+    block = order.shape[1]
+    flat = order.reshape(-1)
+    total = sum(sizes)
+    real = flat[flat < total]
+    assert sorted(real.tolist()) == list(range(total))
+    # the big graph (nodes 5..23) starts at a block boundary
+    big_first_slot = int(np.where(flat == sizes[0])[0][0])
+    assert big_first_slot % block == 0, (big_first_slot, block)
+    # and its chunks are consecutive full blocks (except the last)
+    for k in range(sizes[1] // block):
+        blk = flat[big_first_slot + k * block : big_first_slot + (k + 1) * block]
+        assert all(sizes[0] <= s < sizes[0] + sizes[1] for s in blk), blk
+
+
 def test_selfatt_straddling_graphs_vs_reference():
     """Exactness for graphs that would straddle a contiguous block boundary:
     the reference never splits a graph smaller than its chunk

@@ -88,3 +88,44 @@ def test_edge_features_flow_and_pairing():
     grads = jax.grad(loss)(params)
     g_edge = jax.tree_util.tree_leaves(grads["edge_embedder"])
     assert any(float(jnp.sum(jnp.abs(g))) > 0 for g in g_edge)
+
+
+def test_featureless_graph_does_not_shift_later_graphs_slots():
+    """A graph with edge_features=None mixed into a feature-tracking batch
+    must get -1 slots WITHOUT advancing the feature cursor — otherwise every
+    later graph's edges silently gather another graph's feature rows."""
+    rng = np.random.RandomState(3)
+    g1 = make_graph(rng, n=8, e=5)
+    g2 = make_graph(rng, n=6, e=4)
+    g2.edge_features = None  # no features for this one
+    g3 = make_graph(rng, n=7, e=6)
+    graphs = [g1, g2, g3]
+    model = build_model()
+    model.compute_metadata(iter(graphs), parallelize=False)
+    mbs = [mb for mb, _ in model.minibatch_iterator(
+        model.tensorize_dataset(iter(graphs), parallelize=False),
+        max_minibatch_size=3, parallelize=False)]
+    batch = mbs[0]["batch"]
+    adj = batch.adjacency
+    slot = np.asarray(adj.edge_feature_slot)
+    types = np.asarray(adj.edge_types)
+    mask = np.asarray(adj.mask)
+    senders = np.asarray(adj.senders)
+
+    # g2 occupies node ids [8, 14): its edges carry NO feature slot
+    g2_fwd = mask & (types == 0) & (senders >= 8) & (senders < 14)
+    assert g2_fwd.sum() == 4
+    assert (slot[g2_fwd] == -1).all()
+
+    # g1 + g3 edges cover feature rows 0..10 exactly once (5 + 6 features)
+    featured_fwd = mask & (types == 0) & (slot >= 0)
+    assert sorted(slot[featured_fwd]) == list(range(5 + 6))
+    # g3's edges (nodes >= 14) map to rows 5..10 — ITS rows, not g2-shifted
+    g3_fwd = mask & (types == 0) & (senders >= 14)
+    assert sorted(slot[g3_fwd]) == list(range(5, 11))
+
+    # and the embedder minibatch holds exactly 11 real feature rows
+    module = model.build_neural_module()
+    params = module.init(jax.random.PRNGKey(0))
+    out, _ = module.apply(params, batch)  # runs without OOB gathers
+    assert np.isfinite(np.asarray(out.output_node_representations)).all()

@@ -153,9 +153,12 @@ def test_layout_invariants_fuzz():
                 dst = rng.randint(0, n, e).astype(np.int32)
                 adj.append((src, dst))
                 feats.append(rng.randn(e, 3).astype(np.float32))
+            # the tensorized contract (graph/gnn.py tensorize): ONE flat
+            # feature entry per forward edge, in canonical type order
+            feats_flat = [row for f in feats for row in f]
             g = TensorizedGraphData(
                 num_nodes=n, node_tensorized_data=[0] * n,
-                adjacency_lists=adj, edge_features=feats, reference_nodes={},
+                adjacency_lists=adj, edge_features=feats_flat, reference_nodes={},
             )
             if not b.can_add(g, mb):
                 break

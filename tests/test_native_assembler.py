@@ -21,8 +21,11 @@ def build(monkeypatch, disable_native, track_edge_features=False):
             (rng.randint(0, n, 25).astype(np.int32), rng.randint(0, n, 25).astype(np.int32))
             for _ in range(3)
         ]
+        # feature-tracking batches number slots only for graphs that CARRY
+        # features (one flat entry per forward edge, the gnn.py contract)
+        feats = [np.zeros(2, np.float32)] * (3 * 25) if track_edge_features else None
         g = TensorizedGraphData(num_nodes=n, node_tensorized_data=[0] * n,
-                                adjacency_lists=adj, edge_features=None,
+                                adjacency_lists=adj, edge_features=feats,
                                 reference_nodes={"refs": np.arange(3, dtype=np.int32)})
         assert b.can_add(g, mb)
         b.extend(g, mb)

@@ -37,7 +37,7 @@ def chain(agg_fn):
         return jnp.take(out, jr % np.int32(N), axis=0)
     return f
 
-f_pallas_sum = chain(lambda x: sk.planned_segment_sum(x, jr, plan, N, True))
+f_pallas_sum = chain(lambda x: sk.planned_segment_sum(x, jr, plan, N))
 f_xla_sum = chain(lambda x: segment_sum(x, jr, N, jm))
 f_pallas_max = chain(lambda x: sk.planned_segment_reduce(x, jr, plan, N, "max", jm))
 f_xla_max = chain(lambda x: segment_max(x, jr, N, jm))

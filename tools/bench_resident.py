@@ -13,12 +13,12 @@ plan = jax.tree_util.tree_map(jnp.asarray, sk.build_aggregation_plan(recv, mask,
     num_tiles=sk.plan_num_tiles(E, N, 256, 512)))
 jr = jnp.asarray(recv)
 x0 = jnp.asarray(rng.randn(E, D).astype(np.float32))
-f = jax.jit(lambda x: jnp.take(sk.planned_segment_sum(x, jr, plan, N, True), jr % np.int32(N), axis=0))
+f = jax.jit(lambda x: jnp.take(sk.planned_segment_sum(x, jr, plan, N), jr % np.int32(N), axis=0))
 t0=time.time()
 y = f(x0); v = float(y.ravel()[0])
 print(f"resident sum compile+1: {time.time()-t0:.1f}s", flush=True)
 # correctness
-out = sk.planned_segment_sum(x0, jr, plan, N, True)
+out = sk.planned_segment_sum(x0, jr, plan, N)
 ref = segment_sum(x0, jr, N, jnp.asarray(mask))
 print("allclose:", bool(jnp.allclose(out, ref, atol=1e-4)), flush=True)
 t0=time.time()

@@ -28,6 +28,6 @@ for R, tile in [(256, 512), (512, 512), (512, 1024), (128, 512), (256, 1024)]:
     data_sorted = jnp.asarray(rng.randn(e_sorted, D).astype(np.float32))
     f_kernel = jax.jit(lambda d, p=plan_j: sk._run_kernel(sk._sum_kernel, p, d))
     f_gather = jax.jit(lambda d, p=plan_j: jnp.take(d, p.perm, axis=0, mode="fill", fill_value=0.0) + 1.0)
-    f_full = jax.jit(lambda d, p=plan_j: sk.planned_segment_sum(d, jr, p, N, True))
+    f_full = jax.jit(lambda d, p=plan_j: sk.planned_segment_sum(d, jr, p, N))
     sys.stdout.flush(); print(f"R={R} tile={tile} ntiles={e_sorted//tile}: kernel={timeit(f_kernel, data_sorted):.3f}ms "
           f"gather={timeit(f_gather, data):.3f}ms full={timeit(f_full, data):.3f}ms", flush=True)

@@ -74,7 +74,7 @@ for R, TILE in [(256, 128), (256, 256), (256, 512), (256, 1024), (256, 2048),
 
         def body_sum(o, p=plan, ci=chain_idx, pm=pad_mask):
             data = jnp.where(pm, 0.0, jnp.take(o, ci, axis=0))
-            return sk.planned_segment_sum(data, None, p, N, True)
+            return sk.planned_segment_sum(data, None, p, N)
 
         t_sum = time_loop(body_sum, out0)
 

@@ -26,7 +26,7 @@ for R, TILE in [(256, 512), (256, 1024), (256, 2048), (128, 2048), (512, 1024), 
             recv, mask, N, R, TILE, num_tiles=sk.plan_num_tiles(E, N, R, TILE)))
         nt = plan.tile_row_blocks.shape[0]
         f = jax.jit(lambda x, p=plan: jnp.take(
-            sk.planned_segment_sum(x, jr, p, N, True), jr % np.int32(N), axis=0))
+            sk.planned_segment_sum(x, jr, p, N), jr % np.int32(N), axis=0))
         t = timeit_chained(f, x0)
         print(f"R={R} TILE={TILE} steps={nt}: {t:.3f} ms (incl 1.0ms expand)", flush=True)
     except Exception as e:

@@ -82,11 +82,11 @@ def main():
 
         def body_super(o):
             d = jnp.where(adj.mask[:, None], expand(o), jnp.asarray(0, dt))
-            return sk.planned_segment_sum(d, None, sup_plan, MAX_NODES, True).astype(dt)
+            return sk.planned_segment_sum(d, None, sup_plan, MAX_NODES).astype(dt)
 
         def body_tile(o):
             d = jnp.where(adj.mask[:, None], expand(o), jnp.asarray(0, dt))
-            return sk.planned_segment_sum(d, None, tile_plan, MAX_NODES, True).astype(dt)
+            return sk.planned_segment_sum(d, None, tile_plan, MAX_NODES).astype(dt)
 
         neu = jnp.asarray(
             jnp.finfo(jnp.bfloat16).min if dt == jnp.bfloat16 else -sk._BIG, dt
