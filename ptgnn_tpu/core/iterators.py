@@ -11,15 +11,31 @@ import multiprocessing as mp
 import queue
 import random
 import threading
+import traceback
 from typing import Iterable, Iterator, Optional, TypeVar
 
 T = TypeVar("T")
 
-_SENTINEL = "___end_of_iterator___"
+
+class _EndOfStream:
+    """Dedicated end-of-stream marker: survives pickling as an instance of
+    this class, so detection is by ``isinstance`` — a data element can never
+    collide with it (a string sentinel would truncate string datasets)."""
+
+
+class _WorkerError:
+    """Carries a producer-side failure across the thread/process boundary."""
+
+    def __init__(self, message: str):
+        self.message = message
 
 
 class ThreadedIterator(Iterator[T]):
-    """Runs the wrapped iterator in a daemon thread with a bounded queue."""
+    """Runs the wrapped iterator in a daemon thread with a bounded queue.
+
+    ``close()`` stops the producer: abandoned iterators (a consumer breaking
+    early) would otherwise leave the worker blocked on a full queue forever,
+    pinning its buffered elements for the process lifetime."""
 
     def __init__(self, original: Iterable[T], max_queue_size: int = 500, enabled: bool = True):
         self.__enabled = enabled
@@ -28,18 +44,41 @@ class ThreadedIterator(Iterator[T]):
             return
         self.__queue: queue.Queue = queue.Queue(maxsize=max_queue_size)
         self.__error: Optional[BaseException] = None
+        self.__stop = threading.Event()
 
         def worker():
             try:
                 for element in original:
-                    self.__queue.put(element)
+                    # bounded put that notices close(): never block forever
+                    while True:
+                        if self.__stop.is_set():
+                            return
+                        try:
+                            self.__queue.put(element, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
             except BaseException as e:  # propagate into consumer
                 self.__error = e
             finally:
-                self.__queue.put(_SENTINEL)
+                try:
+                    self.__queue.put_nowait(_EndOfStream())
+                except queue.Full:
+                    pass  # consumer is gone; close() drains anyway
 
         self.__thread = threading.Thread(target=worker, daemon=True)
         self.__thread.start()
+
+    def close(self) -> None:
+        """Stop the producer thread and release its queued elements."""
+        if not self.__enabled:
+            return
+        self.__stop.set()
+        try:
+            while True:
+                self.__queue.get_nowait()
+        except queue.Empty:
+            pass
 
     def __iter__(self):
         return self
@@ -48,7 +87,7 @@ class ThreadedIterator(Iterator[T]):
         if not self.__enabled:
             return next(self.__iter)
         item = self.__queue.get()
-        if item is _SENTINEL or (isinstance(item, str) and item == _SENTINEL):
+        if isinstance(item, _EndOfStream):
             if self.__error is not None:
                 raise self.__error
             raise StopIteration
@@ -58,7 +97,12 @@ class ThreadedIterator(Iterator[T]):
 class BufferedIterator(Iterator[T]):
     """Runs the wrapped iterable in a separate *process* (fork), queueing
     pickled results. Used for CPU-heavy tensorization so the GIL never blocks
-    the training loop."""
+    the training loop.
+
+    Producer failures are re-raised in the consumer (the reference's child
+    would die silently, truncating the dataset); a child killed without
+    running its finally block (OOM kill, segfault) is detected by a
+    liveness check instead of hanging the training job."""
 
     def __init__(self, original: Iterable[T], max_queue_size: int = 500, enabled: bool = True):
         self.__enabled = enabled
@@ -72,8 +116,9 @@ class BufferedIterator(Iterator[T]):
             try:
                 for element in it:
                     q.put(element)
-            finally:
-                q.put(_SENTINEL)
+                q.put(_EndOfStream())
+            except BaseException:  # ship the traceback to the consumer
+                q.put(_WorkerError(traceback.format_exc()))
 
         self.__process = ctx.Process(target=worker, args=(self.__queue, original), daemon=True)
         self.__process.start()
@@ -84,8 +129,30 @@ class BufferedIterator(Iterator[T]):
     def __next__(self) -> T:
         if not self.__enabled:
             return next(self.__iter)
-        item = self.__queue.get()
-        if isinstance(item, str) and item == _SENTINEL:
+        while True:
+            try:
+                item = self.__queue.get(timeout=5.0)
+                break
+            except queue.Empty:
+                if not self.__process.is_alive():
+                    # one last non-blocking drain: the child may have
+                    # flushed between the timeout and the liveness check
+                    try:
+                        item = self.__queue.get_nowait()
+                        break
+                    except queue.Empty:
+                        raise RuntimeError(
+                            "BufferedIterator worker process died without "
+                            f"an end-of-stream marker (exitcode="
+                            f"{self.__process.exitcode}); it was likely "
+                            "OOM-killed or crashed in native code."
+                        ) from None
+        if isinstance(item, _WorkerError):
+            self.__process.join()
+            raise RuntimeError(
+                "BufferedIterator worker process failed:\n" + item.message
+            )
+        if isinstance(item, _EndOfStream):
             self.__process.join()
             raise StopIteration
         return item

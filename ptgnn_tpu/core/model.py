@@ -43,6 +43,9 @@ import numpy as np
 
 from ptgnn_tpu.core.iterators import BufferedIterator, ThreadedIterator, shuffled_iterator
 
+# end-of-stream marker distinguishable from any data element (incl. None)
+_EXHAUSTED = object()
+
 TRawDatapoint = TypeVar("TRawDatapoint")
 TTensorizedDatapoint = TypeVar("TTensorizedDatapoint")
 TNeuralModule = TypeVar("TNeuralModule")
@@ -174,12 +177,27 @@ class AbstractNeuralModel(ABC, Generic[TRawDatapoint, TTensorizedDatapoint, TNeu
                 if sample[0] is not None:
                     yield sample
         elif parallelize:
+            # Bounded in-flight window: Executor.map would submit one future
+            # per element EAGERLY, materializing the whole (possibly
+            # streamed/infinite) dataset before yielding anything.
+            from collections import deque
+
+            window = 64
             with futures.ThreadPoolExecutor() as pool:
-                for sample in pool.map(
-                    lambda d: (self.tensorize(d), d if return_input_data else None),
-                    dataset_iterator,
-                    chunksize=20,
-                ):
+                pending: "deque[futures.Future]" = deque()
+                for d in dataset_iterator:
+                    pending.append(
+                        pool.submit(
+                            lambda dp: (self.tensorize(dp), dp if return_input_data else None),
+                            d,
+                        )
+                    )
+                    if len(pending) >= window:
+                        sample = pending.popleft().result()
+                        if sample[0] is not None:
+                            yield sample
+                while pending:
+                    sample = pending.popleft().result()
                     if sample[0] is not None:
                         yield sample
         else:
@@ -238,8 +256,10 @@ class AbstractNeuralModel(ABC, Generic[TRawDatapoint, TTensorizedDatapoint, TNeu
                 if carried is not None:
                     sample, carried = carried, None
                 else:
-                    sample = next(tensorized_data, None)
-                    if sample is None:
+                    # unique sentinel: a stream that legitimately yields None
+                    # must raise/propagate, not silently end the epoch
+                    sample = next(tensorized_data, _EXHAUSTED)
+                    if sample is _EXHAUSTED:
                         exhausted = True
                         break
                 tensorized_sample, input_data = sample
@@ -282,7 +302,15 @@ class AbstractNeuralModel(ABC, Generic[TRawDatapoint, TTensorizedDatapoint, TNeu
             ),
             enabled=parallelize,
         )
-        yield from ThreadedIterator(
+        finalized = ThreadedIterator(
             ((self.finalize_minibatch(d[0]), d[1]) for d in unfinalized),
             enabled=parallelize,
         )
+        try:
+            yield from finalized
+        finally:
+            # A consumer breaking early (GeneratorExit) must not strand the
+            # two producer threads blocked on full queues holding hundreds
+            # of finalized (fully padded) minibatches.
+            finalized.close()
+            unfinalized.close()

@@ -97,6 +97,14 @@ class FeatureRepresentationModel(AbstractNeuralModel, AbstractNodeEmbedder):
 
     def finalize_minibatch(self, accumulated_minibatch_data, pad_to: Optional[int] = None):
         feats = np.asarray(accumulated_minibatch_data["features"], dtype=np.float32)
+        if feats.ndim == 1:
+            # Empty minibatch (e.g. the distributed trainer's fully masked
+            # padding batches): np.asarray([]) is 1-D; the feature width is
+            # known from metadata.
+            assert len(feats) == 0
+            width = self.__num_input_features
+            assert width is not None, "metadata not computed"
+            feats = feats.reshape(0, width)
         if pad_to is not None:
             padded = np.zeros((pad_to, feats.shape[1]), np.float32)
             padded[: len(feats)] = feats

@@ -165,7 +165,12 @@ class PPIMulticlassClassification(
         graph_data = self.__gnn_model.finalize_minibatch(
             accumulated_minibatch_data["graph_data"]
         )
-        labels = np.concatenate(accumulated_minibatch_data["labels"], axis=0)
+        if accumulated_minibatch_data["labels"]:
+            labels = np.concatenate(accumulated_minibatch_data["labels"], axis=0)
+        else:
+            # Empty minibatch: the distributed trainer pads uneven device
+            # groups with fully masked empty batches.
+            labels = np.zeros((0, enforce_not_None(self.__num_target_labels)), bool)
         padded = np.zeros((self.__gnn_model.padding.max_nodes, labels.shape[1]), bool)
         padded[: len(labels)] = labels
         return {"batch": graph_data["batch"], "targets": padded}

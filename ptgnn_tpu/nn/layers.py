@@ -323,11 +323,21 @@ class MLP(Module):
     ):
         if isinstance(hidden_layers, int):
             if output_dimension == 1:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "MLP was created with %d layers of size 1, which is most "
+                    "likely wrong. Switching to %d layers of size 32; to get "
+                    "hidden layers of size 1, use hidden_layers=[1,...,1] "
+                    "explicitly.", hidden_layers, hidden_layers,
+                )
                 hidden_sizes = [32] * hidden_layers
             else:
                 hidden_sizes = [output_dimension] * hidden_layers
         else:
             hidden_sizes = list(hidden_layers)
+        # `> 1` mirrors the reference exactly (mlp.py:47-48): a SINGLE hidden
+        # layer without activation is allowed there too.
         if len(hidden_sizes) > 1:
             assert activation is not None, "Multiple linear layers without an activation"
 

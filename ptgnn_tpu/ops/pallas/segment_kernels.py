@@ -23,6 +23,14 @@ dominant cost of every message-passing layer). The TPU-native formulation:
    matmul then *selects* (sums exactly one value per row) instead of
    accumulating.
 
+Maintenance note: the shift-scan/run-mark/select sequence appears in four
+kernel bodies (_extremum_kernel and the three gated variants). This
+duplication is DELIBERATE on the current toolchain — the production
+extremum kernel is frozen (any structural edit has hung the Mosaic
+compiler on v5e four times, see ROUND_NOTES.md), so a shared-helper
+refactor is deferred until a toolchain upgrade makes on-device
+revalidation safe.
+
 Gradients are custom VJPs: sum/mean backward is a plain gather; max/min
 backward splits the cotangent among tied extrema (jax.ops.segment_max
 semantics), using the sum kernel for the tie counts.

@@ -62,3 +62,18 @@ def test_roofline_and_throughput():
     rates = t.rates()
     assert rates["num_edges_per_sec"] > 0
     assert t.totals["num_edges"] == 150
+
+
+def test_feature_embedder_empty_minibatch_with_padding():
+    """An empty minibatch (the distributed trainer's fully masked padding
+    batches) must finalize using the metadata feature width instead of
+    crashing on np.asarray([])'s missing second axis."""
+    import numpy as np
+
+    from ptgnn_tpu.graph.embedders import FeatureRepresentationModel
+
+    m = FeatureRepresentationModel(embedding_size=8)
+    m.compute_metadata(iter([np.ones(5, np.float32)]), parallelize=False)
+    out = m.finalize_minibatch(m.initialize_minibatch(), pad_to=4)
+    assert out["features"].shape == (4, 5)
+    assert (out["features"] == 0).all()
