@@ -61,10 +61,15 @@ class ThreadedIterator(Iterator[T]):
             except BaseException as e:  # propagate into consumer
                 self.__error = e
             finally:
-                try:
-                    self.__queue.put_nowait(_EndOfStream())
-                except queue.Full:
-                    pass  # consumer is gone; close() drains anyway
+                # The end marker MUST arrive (a full queue would drop a
+                # put_nowait and leave the consumer blocked forever); poll so
+                # close() can still release an abandoned producer.
+                while not self.__stop.is_set():
+                    try:
+                        self.__queue.put(_EndOfStream(), timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
 
         self.__thread = threading.Thread(target=worker, daemon=True)
         self.__thread.start()
@@ -78,6 +83,12 @@ class ThreadedIterator(Iterator[T]):
             while True:
                 self.__queue.get_nowait()
         except queue.Empty:
+            pass
+        # Wake any consumer blocked in get() on this (now closed) stream —
+        # e.g. the downstream pipeline thread of a chained iterator.
+        try:
+            self.__queue.put_nowait(_EndOfStream())
+        except queue.Full:  # pragma: no cover
             pass
 
     def __iter__(self):

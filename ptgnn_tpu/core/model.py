@@ -122,6 +122,15 @@ class AbstractNeuralModel(ABC, Generic[TRawDatapoint, TTensorizedDatapoint, TNeu
     # ------------------------------------------------------------------
     # Saving / loading (no torch: gzip pickle of (model, numpy params pytree))
     # ------------------------------------------------------------------
+    def __getstate__(self):
+        """Models pickle whole (checkpoints are (model, params) blobs); any
+        attribute ending in ``_jit_cache`` holds compiled functions — which
+        cannot pickle — and is dropped (rebuilt lazily after restore).
+        Convention used by the decode/encode caches (sequence/, graph2seq/)."""
+        return {
+            k: v for k, v in self.__dict__.items() if not k.endswith("_jit_cache")
+        }
+
     def save(self, path: Path, params: Any) -> None:
         import jax
 

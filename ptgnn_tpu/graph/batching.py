@@ -42,6 +42,21 @@ from ptgnn_tpu.graph.structs import (
 )
 
 
+def materialized_edge_type_count(
+    num_fwd_edge_types: int, *, introduce_backwards_edges: bool, add_self_edges: bool
+) -> int:
+    """Total materialized edge-type ids: forward types, optionally doubled
+    for backwards (ids T+t), plus one trailing self-edge type (the
+    reference's ordering, graphneuralnetwork.py:283-290). The single source
+    of truth shared by the batcher and the model."""
+    t = num_fwd_edge_types
+    if introduce_backwards_edges:
+        t *= 2
+    if add_self_edges:
+        t += 1
+    return t
+
+
 def _tile_ceil(n: int, tile: int) -> int:
     return int(math.ceil(n / tile)) * tile
 
@@ -85,12 +100,11 @@ class GraphBatcher:
 
     @property
     def num_edge_types(self) -> int:
-        t = self.num_fwd_edge_types
-        if self.introduce_backwards_edges:
-            t *= 2
-        if self.add_self_edges:
-            t += 1
-        return t
+        return materialized_edge_type_count(
+            self.num_fwd_edge_types,
+            introduce_backwards_edges=self.introduce_backwards_edges,
+            add_self_edges=self.add_self_edges,
+        )
 
     @property
     def num_row_blocks(self) -> int:

@@ -250,12 +250,16 @@ class GraphNeuralNetworkModel(AbstractNeuralModel):
 
     @property
     def _num_edge_types(self) -> int:
-        num_types = len(self.__edge_types)
-        if self.introduce_backwards_edges:
-            num_types *= 2
-        if self.add_self_edges:
-            num_types += 1
-        return num_types
+        # One definition of the materialized type count: the batcher's
+        # (backwards doubling + self-edge type). A desync would build MP
+        # layers with the wrong weight-stack size.
+        from ptgnn_tpu.graph.batching import materialized_edge_type_count
+
+        return materialized_edge_type_count(
+            len(self.__edge_types),
+            introduce_backwards_edges=self.introduce_backwards_edges,
+            add_self_edges=self.add_self_edges,
+        )
 
     @property
     def edge_type_names(self) -> Tuple[str, ...]:

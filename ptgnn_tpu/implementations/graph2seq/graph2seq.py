@@ -253,6 +253,7 @@ class Graph2Seq(AbstractNeuralModel[CodeGraph2Seq, TensorizedGraph2Seq, Graph2Se
             )
             cache[id(trained_network)] = encode
         decoded: List = []
+        survivors: List = []
         for mb_data, input_data in self.minibatch_iterator(
             self.tensorize_dataset(iter(data), return_input_data=True),
             max_minibatch_size=max_minibatch_size,
@@ -264,6 +265,7 @@ class Graph2Seq(AbstractNeuralModel[CodeGraph2Seq, TensorizedGraph2Seq, Graph2Se
                     sample["node_labels"][k].lower() for k in sample["backbone_sequence"]
                 )
             memories, origin, memory_mask, initial_states = encode(params, mb_data["batch"])
+            survivors.extend(input_data)
             decoded.extend(
                 decode_fn(
                     input_concrete_values=input_concrete_values,
@@ -276,8 +278,31 @@ class Graph2Seq(AbstractNeuralModel[CodeGraph2Seq, TensorizedGraph2Seq, Graph2Se
                     num_real_targets=len(input_data),
                 )
             )
-        assert len(decoded) == len(data)
-        return decoded
+        if len(decoded) == len(data):
+            return decoded
+        # Some samples were dropped (size caps at tensorize, or not fitting
+        # an empty batch). Keep positional alignment with ``data`` by
+        # slotting None for dropped samples — survivors preserve stream
+        # order, so identity matching recovers the mapping.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "decode: %d of %d samples were dropped by size caps; their "
+            "results are None.", len(data) - len(decoded), len(data),
+        )
+        pairs = iter(zip(survivors, decoded))
+        nxt = next(pairs, None)
+        aligned: List = []
+        for d in data:
+            # identity when the pipeline kept the objects, equality when the
+            # multiprocess tensorizer pickled them across the fork
+            if nxt is not None and (nxt[0] is d or nxt[0] == d):
+                aligned.append(nxt[1])
+                nxt = next(pairs, None)
+            else:
+                aligned.append(None)
+        assert nxt is None, "decoded results could not be aligned to inputs"
+        return aligned
 
     def greedy_decode(
         self,

@@ -32,7 +32,10 @@ def evaluate(model: Graph2Seq, params, network, data: List[dict], verbose: bool 
         all_responses = model.greedy_decode(data, params, network)
     correct_elements, jw_sim, num_elements = 0, 0.0, 0
     sum_f1, sum_precision, sum_recall = 0.0, 0.0, 0.0
-    for (res_tokens, res_logprob), actual_data in zip(all_responses, data):
+    for response, actual_data in zip(all_responses, data):
+        if response is None:  # dropped by size caps (decode warns)
+            continue
+        res_tokens, res_logprob = response
         num_elements += 1
         if verbose:
             print(

@@ -290,7 +290,7 @@ class Graph2Class(
             num_correct += int(
                 np.sum((predictions[valid] == targets[valid]) & (targets[valid] != unk_class_id))
             )
-        return num_correct / num_elements
+        return num_correct / max(num_elements, 1)
 
     def predict(
         self,

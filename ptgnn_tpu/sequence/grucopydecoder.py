@@ -155,8 +155,19 @@ class GruCopyingDecoder(Module):
         all_scores = jnp.concatenate(
             [target_scores, total_copy_scores[..., None]], axis=-1
         )
-        # Manual logsumexp tolerating the -inf copy column.
-        shift = jnp.max(target_scores, axis=-1)
+        # Manual logsumexp tolerating the -inf copy column. The shift must
+        # include the copy score when it is finite (the reference's
+        # torch.logsumexp shifts by the max over ALL columns): shifting by
+        # the vocab max alone overflows exp() whenever the total copy score
+        # dominates by ~88, collapsing every logprob to -inf mid-training.
+        shift = jnp.maximum(
+            jnp.max(target_scores, axis=-1),
+            jnp.where(
+                jnp.isfinite(total_copy_scores),
+                total_copy_scores,
+                -jnp.inf,
+            ),
+        )
         normalizing_const = (
             jnp.log(jnp.sum(jnp.exp(all_scores - shift[..., None]), axis=-1)) + shift
         )  # [B, T]

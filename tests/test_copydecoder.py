@@ -393,3 +393,42 @@ def test_beam_decode_beam1_matches_greedy_and_beams_are_sorted():
         # beams are distinct sequences (no duplicate survivors)
         seqs = [tuple(t) for t, _ in beams if np.isfinite(_)]
         assert len(set(seqs)) == len(seqs), seqs
+
+
+def test_loss_finite_when_copy_score_dominates():
+    """The joint vocab/copy normalizer must shift by the max over ALL
+    columns (reference torch.logsumexp): with huge-magnitude inputs the
+    total copy score exceeds every vocab score by >>88, which used to
+    overflow exp() and collapse every logprob (and the loss) to -inf/NaN."""
+    model, data, inputs = build_case()
+    module = model.build_neural_module()
+    params = module.init(jax.random.PRNGKey(7))
+
+    rng = np.random.RandomState(5)
+    counts = [len(i) for i in inputs]
+    M_real = sum(counts)
+    D, H = 7, 8
+    scale = 300.0  # pushes copy attention scores far above vocab scores
+    memories = (rng.randn(M_real, D) * scale).astype(np.float32)
+    init_states = (rng.randn(len(data), H) * scale).astype(np.float32)
+    origin = np.concatenate([[b] * c for b, c in enumerate(counts)]).astype(np.int32)
+
+    B_pad, M_pad = 5, 16
+    mem_pad = np.zeros((M_pad, D), np.float32)
+    mem_pad[:M_real] = memories
+    origin_pad = np.full(M_pad, B_pad, np.int32)
+    origin_pad[:M_real] = origin
+    mem_mask = np.arange(M_pad) < M_real
+    init_pad = np.zeros((B_pad, H), np.float32)
+    init_pad[: len(data)] = init_states
+
+    mb = model.initialize_minibatch()
+    for d in data:
+        model.extend_minibatch_with(model.tensorize(d), mb)
+    fin = model.finalize_minibatch(mb, max_targets=B_pad, memories_budget=M_pad)
+    fin["input_memories"] = jnp.asarray(mem_pad)
+    fin["input_memories_origin_idx"] = jnp.asarray(origin_pad)
+    fin["memory_mask"] = jnp.asarray(mem_mask)
+    fin["initial_states"] = jnp.asarray(init_pad)
+    loss, _ = module.apply(params, **fin, train=False)
+    assert np.isfinite(float(loss)), float(loss)

@@ -92,3 +92,27 @@ def test_jaro_winkler_basics():
     assert 0.0 < jaro_winkler("martha", "marhta") < 1.0
     # Winkler prefix boost: common prefix scores higher
     assert jaro_winkler("prefixed", "prefixxx") > jaro_winkler("xxprefed", "yyprefxx")
+
+
+def test_decode_aligns_dropped_samples_as_none():
+    """A sample dropped by size caps must surface as None at ITS position in
+    the decode results instead of aborting after all the work is done."""
+    from ptgnn_tpu.implementations.graph2seq.train import create_graph2seq_model
+    from ptgnn_tpu.utils.synthetic import synthetic_graph2seq_samples
+
+    import jax
+
+    data = list(synthetic_graph2seq_samples(6, seed=1, mean_nodes=25, max_nodes=50))
+    model = create_graph2seq_model()
+    model.compute_metadata(iter(data), parallelize=False)
+    net = model.build_neural_module()
+    params = net.init(jax.random.PRNGKey(0))
+    # shrink the cap so exactly sample 1 is dropped at tensorize time
+    model._Graph2Seq__gnn_model.max_nodes_per_graph = (
+        len(data[1]["node_labels"]) - 1
+    )
+    res = model.greedy_decode(data[:3], params, net)
+    assert len(res) == 3
+    assert res[1] is None or any(r is None for r in res)
+    kept = [r for r in res if r is not None]
+    assert kept and all(isinstance(r, tuple) for r in kept)
