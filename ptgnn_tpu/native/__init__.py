@@ -12,12 +12,14 @@ import ctypes
 import logging
 import os
 import subprocess
+import threading
 from pathlib import Path
 from typing import Optional, Tuple
 
 import numpy as np
 
 LOGGER = logging.getLogger(__name__)
+_LOAD_LOCK = threading.Lock()
 _LIB_DIR = Path(__file__).parent
 _LIB_PATH = _LIB_DIR / "libbatch_assembler.so"
 
@@ -48,15 +50,28 @@ def _lib_is_fresh() -> bool:
 
 
 def _try_build() -> bool:
+    """Build under an exclusive file lock: concurrent processes (multi-host
+    training, jobs sharing one checkout) must not each run `make -B` over the
+    same .so — a reader could dlopen a partially written library. The lock
+    holder builds; waiters re-check freshness once it is released."""
     try:
-        subprocess.run(
-            ["make", "-B", "-C", str(_LIB_DIR)], check=True, capture_output=True,
-            timeout=120,
-        )
-        if _LIB_PATH.exists():
-            _HASH_PATH.write_text(_source_hash())
-            return True
-        return False
+        import fcntl
+
+        with open(_LIB_DIR / ".build.lock", "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            try:
+                if _lib_is_fresh():  # someone else built while we waited
+                    return True
+                subprocess.run(
+                    ["make", "-B", "-C", str(_LIB_DIR)], check=True,
+                    capture_output=True, timeout=120,
+                )
+                if _LIB_PATH.exists():
+                    _HASH_PATH.write_text(_source_hash())
+                    return True
+                return False
+            finally:
+                fcntl.flock(lockf, fcntl.LOCK_UN)
     except Exception as exc:  # noqa: BLE001 - any failure -> fallback
         LOGGER.info("Native assembler build failed (%s); using Python fallback.", exc)
         return False
@@ -65,6 +80,15 @@ def _try_build() -> bool:
 def get_assembler() -> Optional[ctypes.CDLL]:
     """The loaded native library, (re)built on first use whenever the source
     changed; None if unavailable (callers fall back to Python)."""
+    if _lib is not None:
+        return _lib
+    # _load_attempted may only be read under the lock: another thread could
+    # be mid-load with the flag already set.
+    with _LOAD_LOCK:
+        return _load_assembler_locked()
+
+
+def _load_assembler_locked() -> Optional[ctypes.CDLL]:
     global _lib, _load_attempted
     if _lib is not None or _load_attempted:
         return _lib
@@ -85,7 +109,10 @@ def get_assembler() -> Optional[ctypes.CDLL]:
             i32p, i32p, i32p, i32p, u8p, i32p, i32p, i32p, i32p,
         ]
         _lib = lib
-    except OSError as exc:
+    except (OSError, AttributeError) as exc:
+        # AttributeError: the library loaded but lacks the expected symbol
+        # (stale/corrupt .so) — the contract is "None -> Python fallback",
+        # never a crash out of GraphBatcher.finalize.
         LOGGER.info("Native assembler load failed (%s); using Python fallback.", exc)
     return _lib
 
@@ -108,6 +135,22 @@ def assemble_edge_layout(
     lib = get_assembler()
     if lib is None:
         return None
+    # Validate before crossing the C ABI: the C++ loop indexes by receiver,
+    # type, and payload position — out-of-range values would corrupt the
+    # heap silently instead of raising like the Python fallback.
+    n = len(senders)
+    assert len(receivers) == n and len(types) == n, (n, len(receivers), len(types))
+    assert payload is None or len(payload) == n, (n, len(payload))
+    if n:
+        assert int(receivers.min()) >= 0 and int(receivers.max()) < max_nodes, (
+            "receiver out of range for the native assembler"
+        )
+        assert int(senders.min()) >= 0 and int(senders.max()) < max_nodes, (
+            "sender out of range for the native assembler"
+        )
+        assert int(types.min()) >= 0 and int(types.max()) < num_types, (
+            "edge type out of range for the native assembler"
+        )
     num_blocks = -(-max_nodes // agg_rows)
     n_tiles = e_pad // tile
     out_senders = np.empty(e_pad, np.int32)

@@ -102,7 +102,6 @@ int assemble_edge_layout_v3(
   // Scatter edges into their buckets (stable within input order), then sort
   // each bucket's slice by receiver.
   std::vector<int64_t> fill(num_buckets, 0);
-  std::vector<int32_t> edge_at(cursor >= 0 ? (size_t)e_pad : 0);
   for (int64_t i = 0; i < num_edges; ++i) {
     const int64_t k = edge_bucket[i];
     const int64_t pos = bucket_offset[k] + fill[k]++;
