@@ -9,6 +9,7 @@ No torch: parameters are plain numpy pytrees.
 from __future__ import annotations
 
 import gzip
+import os
 import pickle
 from pathlib import Path
 from typing import Any, Tuple
@@ -22,8 +23,13 @@ def to_host(tree: Any) -> Any:
 
 
 def save_optimizer_state(path: Path, opt_state: Any, epoch: int, extra: Any = None) -> None:
-    with gzip.open(Path(path), "wb") as f:
+    # Write-then-rename: the trainer overwrites the SAME path every epoch,
+    # and a crash mid-pickle would otherwise truncate the only resume state.
+    path = Path(path)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    with gzip.open(tmp, "wb") as f:
         pickle.dump({"optimizer_state": to_host(opt_state), "epoch": epoch, "extra": extra}, f)
+    os.replace(tmp, path)
 
 
 def load_optimizer_state(path: Path) -> Tuple[Any, int, Any]:

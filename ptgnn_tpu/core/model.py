@@ -137,8 +137,13 @@ class AbstractNeuralModel(ABC, Generic[TRawDatapoint, TTensorizedDatapoint, TNeu
         path = Path(path)
         os.makedirs(os.path.dirname(str(path.absolute())), exist_ok=True)
         host_params = jax.tree_util.tree_map(np.asarray, params)
-        with gzip.open(path, "wb") as f:
+        # Write-then-rename: the trainer overwrites the same checkpoint on
+        # every improvement; a crash mid-pickle must not destroy the last
+        # good model.
+        tmp = path.with_suffix(path.suffix + ".tmp")
+        with gzip.open(tmp, "wb") as f:
             pickle.dump((self, host_params), f)
+        os.replace(tmp, path)
 
     @classmethod
     def restore_model(cls: Type[T], path: Path) -> Tuple[T, Any]:

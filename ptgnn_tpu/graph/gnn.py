@@ -290,6 +290,20 @@ class GraphNeuralNetworkModel(AbstractNeuralModel):
         if getattr(self, "_built_mp_layers", None) is None:
             self._built_mp_layers = self.__message_passing_layers_creator(self._num_edge_types)
             del self.__message_passing_layers_creator
+            # The reference asserts per-type list lengths at layer apply
+            # (egcmessagepassing.py:63); here typed routing uses jnp.take,
+            # whose clamping would silently project mismatched types with
+            # the wrong weights — so the type count is checked ONCE at
+            # build for every layer that declares one.
+            for layer in self._built_mp_layers:
+                declared = getattr(layer, "num_edge_types", None)
+                assert declared is None or declared == self._num_edge_types, (
+                    f"layer {type(layer).__name__} was built for {declared} "
+                    f"edge types but the batch materializes "
+                    f"{self._num_edge_types} (forward"
+                    f"{' + backward' if self.introduce_backwards_edges else ''}"
+                    f"{' + self' if self.add_self_edges else ''})"
+                )
         gnn = GraphNeuralNetwork(
             self._built_mp_layers,
             node_embedder=self.__node_embedding_model.build_neural_module(),

@@ -54,6 +54,54 @@ class GraphContext(NamedTuple):
         return self.graph_mask.shape[0]
 
 
+def masked_segment_aggregate(
+    messages: jax.Array, ctx: "GraphContext", num_nodes: int, reduction: str
+) -> jax.Array:
+    """Masked segment reduce of per-edge values to receiver nodes — THE
+    aggregation dispatch, shared by the layer base class and pluggable
+    aggregators (PNA): edge-partitioned batches add one collective over the
+    edge axis; batches in the unified layout run the sorted-segment Pallas
+    kernel on TPU; XLA segment ops otherwise."""
+    adj = ctx.adjacency
+    if ctx.edge_axis is not None:
+        from ptgnn_tpu.parallel.edge_sharding import sharded_aggregate
+
+        return sharded_aggregate(
+            messages, adj, num_nodes, reduction, ctx.edge_axis, mask=adj.mask
+        )
+    if (
+        adj.has_aggregation_plan
+        and reduction in ("sum", "add", "mean", "max", "min")
+        and _use_pallas_aggregation()
+    ):
+        from ptgnn_tpu.ops.pallas.segment_kernels import adjacency_segment_reduce
+
+        return adjacency_segment_reduce(
+            messages, adj, num_nodes, reduction, mask=adj.mask,
+            # Static batch mask -> plan.counts already hold the masked
+            # degrees; mean skips its extra counting pass. Edge dropout
+            # flips edge_mask_is_static off (graph/gnn.py).
+            counts_exact=ctx.edge_mask_is_static,
+        )
+    return segment_reduce(
+        messages,
+        adj.receivers,
+        num_segments=num_nodes,
+        reduction=reduction,
+        mask=adj.mask,
+    )
+
+
+def masked_segment_degree(ctx: "GraphContext", num_nodes: int) -> jax.Array:
+    """[N] masked in-degree; global (psum) under edge partitioning."""
+    from ptgnn_tpu.ops.segment import segment_count
+
+    cnt = segment_count(ctx.adjacency.receivers, num_nodes, ctx.adjacency.mask)
+    if ctx.edge_axis is not None:
+        cnt = jax.lax.psum(cnt, ctx.edge_axis)
+    return cnt
+
+
 def fused_linear_message_aggregation_or_none(
     weight_stack,
     node_states,
@@ -120,39 +168,8 @@ class AbstractMessagePassingLayer(Module):
         aggregation_fn: str,
     ) -> jax.Array:
         """Masked segment reduce to receivers; fp32 accumulation for low
-        precision inputs (mirrors abstractmessagepassing.py:38-50).
-
-        On TPU with a batch built in the unified layout, this runs the
-        sorted-segment Pallas kernel (one-hot matmuls on the MXU); otherwise
-        the XLA segment ops."""
-        adj = ctx.adjacency
-        if ctx.edge_axis is not None:
-            from ptgnn_tpu.parallel.edge_sharding import sharded_aggregate
-
-            return sharded_aggregate(
-                messages, adj, num_nodes, aggregation_fn, ctx.edge_axis, mask=adj.mask
-            )
-        if (
-            adj.has_aggregation_plan
-            and aggregation_fn in ("sum", "add", "mean", "max", "min")
-            and _use_pallas_aggregation()
-        ):
-            from ptgnn_tpu.ops.pallas.segment_kernels import adjacency_segment_reduce
-
-            return adjacency_segment_reduce(
-                messages, adj, num_nodes, aggregation_fn, mask=adj.mask,
-                # Static batch mask -> plan.counts already hold the masked
-                # degrees; mean skips its extra counting pass. Edge dropout
-                # flips edge_mask_is_static off (graph/gnn.py).
-                counts_exact=ctx.edge_mask_is_static,
-            )
-        return segment_reduce(
-            messages,
-            adj.receivers,
-            num_segments=num_nodes,
-            reduction=aggregation_fn,
-            mask=adj.mask,
-        )
+        precision inputs (mirrors abstractmessagepassing.py:38-50)."""
+        return masked_segment_aggregate(messages, ctx, num_nodes, aggregation_fn)
 
     @property
     def input_state_dimension(self) -> int:

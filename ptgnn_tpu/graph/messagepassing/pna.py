@@ -3,17 +3,25 @@
 Mirrors the reference's pluggable PNA aggregator
 (ptgnn/neuralmodels/gnn/messagepassing/pna_aggregation.py:13-59):
 sum/mean/max/min/std aggregations x {1, log-degree, 1/log-degree} scalers
--> 15x message-dim output. Runs as five masked segment reductions over the
-fused edge array; all accumulation in fp32.
+-> 15x message-dim output. Every reduction goes through the shared
+aggregation dispatch (base.masked_segment_aggregate): the Pallas
+sorted-segment kernels on TPU batches in the unified layout, and one
+collective per reduction when the edge array is partitioned across devices
+(parallel/edge_sharding.py) — a direct segment op would return per-shard
+PARTIAL aggregates there. All accumulation in fp32.
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 
-from ptgnn_tpu.graph.messagepassing.base import AbstractMessageAggregation, GraphContext
+from ptgnn_tpu.graph.messagepassing.base import (
+    AbstractMessageAggregation,
+    GraphContext,
+    masked_segment_aggregate,
+    masked_segment_degree,
+)
 from ptgnn_tpu.nn.module import Params
-from ptgnn_tpu.ops.segment import segment_count, segment_max, segment_min, segment_sum
 
 
 class PnaMessageAggregation(AbstractMessageAggregation):
@@ -29,20 +37,19 @@ class PnaMessageAggregation(AbstractMessageAggregation):
     ) -> jax.Array:
         del params
         targets = ctx.adjacency.receivers
-        mask = ctx.adjacency.mask
-        degree = segment_count(targets, num_nodes, mask)  # [N] int32
+        degree = masked_segment_degree(ctx, num_nodes)  # [N] int32, global
 
         msg_dtype = messages.dtype
         messages = messages.astype(jnp.float32)
-        sum_agg = segment_sum(messages, targets, num_nodes, mask)
+        sum_agg = masked_segment_aggregate(messages, ctx, num_nodes, "sum")
         mean_agg = sum_agg / (degree[:, None].astype(jnp.float32) + 1e-5)
-        max_agg = segment_max(messages, targets, num_nodes, mask)
-        min_agg = segment_min(messages, targets, num_nodes, mask)
+        max_agg = masked_segment_aggregate(messages, ctx, num_nodes, "max")
+        min_agg = masked_segment_aggregate(messages, ctx, num_nodes, "min")
 
         # std via E[m^2] - mean^2, relu-clamped per element as in the reference
         mean_sq_per_edge = jnp.take(mean_agg, targets, axis=0, mode="fill", fill_value=0.0)
         std_components = jax.nn.relu(jnp.square(messages) - jnp.square(mean_sq_per_edge)) + 1e-10
-        std = jnp.sqrt(segment_sum(std_components, targets, num_nodes, mask))
+        std = jnp.sqrt(masked_segment_aggregate(std_components, ctx, num_nodes, "sum"))
 
         all_aggregations = jnp.concatenate(
             [sum_agg, mean_agg, max_agg, min_agg, std], axis=-1

@@ -166,3 +166,42 @@ def test_edge_parallel_train_step_matches_single_device():
                          jax.tree_util.tree_leaves(expected)):
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                    rtol=5e-4, atol=1e-5)
+
+
+def test_pna_aggregation_matches_single_device_under_edge_sharding():
+    """PNA's five reductions and the degree scalers must be GLOBAL under
+    edge partitioning (one collective per reduction) — a direct segment op
+    would return per-shard partial aggregates silently."""
+    from ptgnn_tpu.graph.messagepassing import GraphContext
+    from ptgnn_tpu.graph.messagepassing.pna import PnaMessageAggregation
+
+    pad, batch = build_batch()
+    adj = jax.tree_util.tree_map(jnp.asarray, batch.adjacency)
+    rng = np.random.RandomState(0)
+    msgs = jnp.asarray(rng.randn(adj.senders.shape[0], 6).astype(np.float32))
+    pna = PnaMessageAggregation()
+
+    def ctx_for(a, axis=None):
+        return GraphContext(
+            adjacency=a, edge_features=None, node_graph=batch.node_graph,
+            node_mask=batch.node_mask, graph_mask=batch.graph_mask,
+            references={}, edge_axis=axis,
+        )
+
+    expected = np.asarray(pna.apply({}, msgs, ctx_for(adj), pad.max_nodes))
+
+    sharded = shard_adjacency(adj, N_SHARDS)
+    mesh = Mesh(np.asarray(jax.devices()[:N_SHARDS]), ("edge",))
+    adj_specs = jax.tree_util.tree_map(lambda x: P("edge"), sharded)
+    adj_specs = adj_specs._replace(agg_counts=P())
+
+    def per_shard(a, m):
+        la = jax.tree_util.tree_map(lambda x: x[0], a)._replace(agg_counts=a.agg_counts)
+        return pna.apply({}, m[0], ctx_for(la, axis="edge"), pad.max_nodes)
+
+    out = np.asarray(
+        jax.jit(_smap(per_shard, mesh, (adj_specs, P("edge")), P()))(
+            sharded, msgs.reshape(N_SHARDS, -1, 6)
+        )
+    )
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-5)
