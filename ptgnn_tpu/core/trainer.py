@@ -125,6 +125,7 @@ class ModelTrainer:
         assert gradient_accumulation_steps >= 1
         self._grad_accum_steps = gradient_accumulation_steps
         self._grad_accum_state = None  # (grad_tree, count) between microbatches
+        self._opt_steps_this_epoch = 0  # schedule index; reset per epoch
         assert prefetch_to_device >= 1
         self._prefetch_to_device = prefetch_to_device
         self._seed = seed
@@ -241,6 +242,19 @@ class ModelTrainer:
     # ------------------------------------------------------------------
     # Compiled steps
     # ------------------------------------------------------------------
+    def _init_opt_state(self, optimizer: optax.GradientTransformation):
+        """Fresh (or restored) optimizer state. The distributed trainer
+        overrides this to materialize ZeRO-1-sharded moments directly."""
+        opt_state = optimizer.init(self._params)
+        if self._restored_opt_state is not None:
+            opt_state = jax.tree_util.tree_map(
+                lambda tmpl, restored: jnp.asarray(restored),
+                opt_state,
+                self._restored_opt_state,
+            )
+            self._restored_opt_state = None
+        return opt_state
+
     def _build_step_functions(self, optimizer: optax.GradientTransformation):
         module = self.neural_module
         amp = self._enable_amp
@@ -327,10 +341,20 @@ class ModelTrainer:
                 raise
             count += 1
             if count >= k:
-                params, opt_state = apply_step_j(
-                    params, opt_state, acc, jnp.float32(count), lr_factor
-                )
+                try:
+                    params, opt_state = apply_step_j(
+                        params, opt_state, acc, jnp.float32(count), lr_factor
+                    )
+                    if self._catch_device_ooms:
+                        # surface an async apply-step OOM here, NOT at the
+                        # next microbatch's sync, where the poisoned params
+                        # would already be committed to the epoch loop
+                        jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
+                except RuntimeError:
+                    self._grad_accum_state = None
+                    raise
                 self._grad_accum_state = None
+                self._opt_steps_this_epoch += 1
             else:
                 self._grad_accum_state = (acc, count)
                 self._last_lr_factor = lr_factor
@@ -349,6 +373,7 @@ class ModelTrainer:
             self._params, opt_state, acc, jnp.float32(count),
             getattr(self, "_last_lr_factor", 1.0),
         )
+        self._opt_steps_this_epoch += 1
         return opt_state
 
     # ------------------------------------------------------------------
@@ -363,7 +388,10 @@ class ModelTrainer:
         start_time = time.time()
         rng = jax.random.PRNGKey(self._seed * 1_000_003 + epoch)
         params = self._params
-        pending_loss = None
+        # optimizer-step index for schedules: under gradient accumulation the
+        # wrapper increments this once per APPLY (OOM-skipped microbatches
+        # must not advance the schedule)
+        self._opt_steps_this_epoch = 0
         progress = None
         ema_loss = None
         if show_progress_bar:
@@ -385,16 +413,22 @@ class ModelTrainer:
                 mb_iter, self._prefetch_to_device,
                 catch_oom=self._catch_device_ooms,
             )
+        from ptgnn_tpu.utils.oom import is_oom_error
+
         for step_idx, (mb_data, raw_samples) in enumerate(mb_iter):
             # Schedules are in OPTIMIZER-step units (core/schedulers.py):
-            # under gradient accumulation, k microbatches share one index.
+            # under gradient accumulation k microbatches share one index,
+            # counted by actual applies so OOM skips don't advance it.
             lr_factor = (
                 1.0
                 if scheduler is None
-                else scheduler.step(epoch, step_idx // self._grad_accum_steps)
+                else scheduler.step(
+                    epoch,
+                    self._opt_steps_this_epoch
+                    if self._grad_accum_steps > 1
+                    else step_idx,
+                )
             )
-            from ptgnn_tpu.utils.oom import is_oom_error
-
             try:
                 new_params, new_opt_state, loss, metrics = self._train_step_fn(
                     params, opt_state, mb_data, jax.random.fold_in(rng, step_idx), lr_factor
@@ -416,11 +450,12 @@ class ModelTrainer:
                 )
                 continue
             params, opt_state = new_params, new_opt_state
+            if self._grad_accum_steps == 1:
+                self._opt_steps_this_epoch += 1
             # NaN guard (reference: trainer.py:226). loss_f is already the
             # synced host value, so the check is free and immediate.
             if not np.isfinite(loss_f):
                 raise Exception("Loss has a NaN value.")
-            pending_loss = loss
             sum_epoch_loss += loss_f
             num_minibatches += 1
             num_samples += len(raw_samples)
@@ -432,8 +467,6 @@ class ModelTrainer:
                 progress.set_postfix(loss=f"{ema_loss:.3f}")
         if progress is not None:
             progress.close()
-        if pending_loss is not None and not np.isfinite(float(pending_loss)):
-            raise Exception("Loss has a NaN value.")
         self._params = params
         if self._grad_accum_steps > 1:
             opt_state = self._flush_accumulated_grads(opt_state)
@@ -537,19 +570,14 @@ class ModelTrainer:
             optimizer = optax.chain(
                 optax.clip_by_global_norm(self._clip_gradient_norm), optimizer
             )
-        opt_state = optimizer.init(self._params)
-        if self._restored_opt_state is not None:
-            opt_state = jax.tree_util.tree_map(
-                lambda tmpl, restored: jnp.asarray(restored),
-                opt_state,
-                self._restored_opt_state,
-            )
-            self._restored_opt_state = None
+        # Step functions first: the distributed trainer's _init_opt_state
+        # materializes ZeRO-1-sharded moments through the mesh built here.
+        self._build_step_functions(optimizer)
+        opt_state = self._init_opt_state(optimizer)
         if self._start_epoch_override is not None:
             start_epoch_idx = max(start_epoch_idx, self._start_epoch_override)
             self._start_epoch_override = None
         scheduler = None if self._scheduler_creator is None else self._scheduler_creator()
-        self._build_step_functions(optimizer)
 
         for hook in self._training_start_hooks:
             hook(self._model, self.neural_module, optimizer)

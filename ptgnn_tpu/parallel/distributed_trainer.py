@@ -73,6 +73,34 @@ class DistributedModelTrainer(ModelTrainer):
         return jax.process_index() == 0
 
     # ------------------------------------------------------------------
+    def _init_opt_state(self, optimizer: optax.GradientTransformation):
+        """Materialize the moments directly in their target (ZeRO-1)
+        shardings: optimizer.init on raw params would build the full
+        replicated state first — OOM in exactly the regime ZeRO-1 exists
+        for — and step 1's sharding constraint would then force a second
+        full compile of the donated train step."""
+        params, _ = self._globalize(self.params, None)
+        if jax.process_count() == 1:
+            params = self._dp.device_put_params(params)
+        opt_state = self._dp.init_opt_state(params)
+        if self._restored_opt_state is not None:
+            restored = self._restored_opt_state
+            self._restored_opt_state = None
+            if jax.process_count() == 1:
+                opt_state = jax.tree_util.tree_map(
+                    lambda tmpl, r: jax.device_put(np.asarray(r), tmpl.sharding),
+                    opt_state, restored,
+                )
+            else:
+                # Multi-host restore: place replicated (the consolidated
+                # checkpoint holds full arrays per host); the step's
+                # constraint reshards on the first update.
+                opt_state = self._dp._put(
+                    jax.tree_util.tree_map(np.asarray, restored),
+                    self._dp.replicated(),
+                )
+        return opt_state
+
     def _build_step_functions(self, optimizer: optax.GradientTransformation):
         self._dp = DataParallel(
             self.neural_module,
@@ -227,6 +255,10 @@ class DistributedModelTrainer(ModelTrainer):
         start_time = time.time()
         rng = jax.random.PRNGKey(self._seed * 1_000_003 + epoch)
         params, opt_state = self._globalize(self.params, opt_state)
+        # The SPMD step DONATES params/opt_state; keep the trainer's own
+        # state as a host snapshot so a mid-epoch crash (OOM, interrupt)
+        # leaves self.params restorable instead of aliasing deleted buffers.
+        self.params = jax.tree_util.tree_map(np.asarray, params)
         for step_idx, (stacked_mb, raw_samples, weights) in enumerate(
             self._group_minibatches(
                 self.model.minibatch_iterator(

@@ -25,15 +25,19 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def _shard_map(f, *, mesh, in_specs, out_specs):
-    try:  # jax >= 0.8
+    try:  # jax >= 0.8: top-level export, check_vma kwarg
         from jax import shard_map
 
         return shard_map(
             f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
         )
-    except ImportError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map
-
+    except (ImportError, TypeError):  # pragma: no cover
+        # TypeError: the top-level export exists but predates the
+        # check_rep -> check_vma rename; fall back with the old kwarg.
+        try:
+            from jax import shard_map
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
         return shard_map(
             f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False
         )
@@ -43,13 +47,6 @@ def stack_minibatches(minibatches: List[Dict[str, Any]]) -> Dict[str, Any]:
     """Stack N finalized (host numpy) minibatches along a new leading device
     axis. All minibatches must share shapes (they do: shapes are static)."""
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *minibatches)
-
-
-def replicate_minibatch(minibatch: Dict[str, Any], n: int) -> Dict[str, Any]:
-    """An all-padding-free way to feed fewer real batches than devices is to
-    repeat batches; masked metrics divide by real counts so statistics stay
-    correct only if callers scale. Prefer fully masked empty batches."""
-    return jax.tree_util.tree_map(lambda x: np.stack([x] * n), minibatch)
 
 
 def _cast_floats(tree, dtype):

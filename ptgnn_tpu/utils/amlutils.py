@@ -8,6 +8,8 @@ standard logging handlers.
 from __future__ import annotations
 
 import logging
+
+import numpy as np
 import os
 from typing import Any, Dict, Optional
 
@@ -30,7 +32,7 @@ def _flatten(prefix: str, metrics: Dict[str, Any], out: Dict[str, float]) -> Non
         name = f"{prefix}{key}"
         if isinstance(value, dict):
             _flatten(name + "/", value, out)
-        elif isinstance(value, (int, float)):
+        elif isinstance(value, (int, float, np.integer, np.floating)):
             out[name] = float(value)
 
 

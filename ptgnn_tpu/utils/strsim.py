@@ -49,6 +49,12 @@ def jaro_similarity(s1: str, s2: str) -> float:
 
 def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
     jaro = jaro_similarity(s1, s2)
+    # Winkler's boost threshold (jellyfish semantics, which the reference's
+    # eval CLI uses): the common-prefix boost only applies to pairs already
+    # similar enough — without it, low-similarity strings sharing a prefix
+    # get inflated scores.
+    if jaro <= 0.7:
+        return jaro
     prefix = 0
     for c1, c2 in zip(s1[:4], s2[:4]):
         if c1 != c2:
