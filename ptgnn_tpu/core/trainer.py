@@ -237,6 +237,17 @@ class ModelTrainer:
         )
 
     def _restore_checkpoint(self) -> None:
+        if not self._checkpoint_location.exists():
+            # Restored-model runs skip the initial metadata checkpoint; if no
+            # epoch ever improved, there is nothing at this path — keep the
+            # current (restored) parameters instead of crashing at the very
+            # end of training.
+            self.LOGGER.warning(
+                "No checkpoint at %s (no epoch improved on the starting "
+                "model); keeping current parameters.",
+                self._checkpoint_location,
+            )
+            return
         _, self._params = self._model.restore_model(self._checkpoint_location)
 
     # ------------------------------------------------------------------

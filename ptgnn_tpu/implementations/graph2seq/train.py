@@ -22,7 +22,7 @@ from ptgnn_tpu.graph.structs import BatchPadding
 from ptgnn_tpu.implementations.graph2seq.graph2seq import Graph2Seq
 from ptgnn_tpu.sequence.grucopydecoder import GruCopyingDecoderModel
 from ptgnn_tpu.utils.amlutils import configure_logging
-from ptgnn_tpu.utils.io import iter_jsonl_gz
+from ptgnn_tpu.utils.io import iter_jsonl
 
 
 def g2s_padding(max_nodes: int = 32768, max_graphs: int = 64) -> BatchPadding:
@@ -43,7 +43,7 @@ def create_graph2seq_model(
     token_vocabulary_size: int = 10000,
 ) -> Graph2Seq:
     """The reference architecture (graph2seq/train.py:54-107): token-vocab
-    node embedder, 8 shared-weight GGNN layers + 1 fresh in a mean-residual
+    node embedder, 7 shared-weight GGNN layers + 1 fresh in a mean-residual
     block, GRU copy decoder."""
     padding = padding if padding is not None else g2s_padding()
 
@@ -91,16 +91,7 @@ def create_graph2seq_model(
 
 
 def load_jsonl(path: Path):
-    if str(path).endswith(".gz"):
-        yield from iter_jsonl_gz(path)
-    else:
-        import json
-
-        with open(path) as f:
-            for line in f:
-                line = line.strip()
-                if line:
-                    yield json.loads(line)
+    yield from iter_jsonl(path)
 
 
 def build_arg_parser() -> argparse.ArgumentParser:

@@ -171,7 +171,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 
 def run(args: argparse.Namespace) -> None:
-    configure_logging(aml_ctx=None)
+    from ptgnn_tpu.utils.amlutils import get_run_context
+
+    aml_ctx = get_run_context() if args.aml else None
+    configure_logging(aml_ctx)
 
     training_data = LazyDataIterable(
         lambda: load_from_folder(args.train_data_path, shuffle=True)
@@ -207,16 +210,20 @@ def run(args: argparse.Namespace) -> None:
         gradient_accumulation_steps=args.gradient_accumulation,
     )
     if params is not None:
-        trainer.neural_module = model.build_neural_module()
-        trainer.params = params
         if args.restore_optimizer:
+            # restore_parameters re-loads the checkpoint (module + params +
+            # optimizer state) itself — setting them first would unpickle
+            # the whole multi-hundred-MB blob twice for nothing.
             trainer.restore_parameters(args.restore_path, restore_optimizer=True)
+        else:
+            trainer.neural_module = model.build_neural_module()
+            trainer.params = params
 
     trainer.register_train_epoch_end_hook(
-        lambda model, nn, epoch, metrics: log_run(None, "train", model, epoch, metrics)
+        lambda model, nn, epoch, metrics: log_run(aml_ctx, "train", model, epoch, metrics)
     )
     trainer.register_validation_epoch_end_hook(
-        lambda model, nn, epoch, metrics: log_run(None, "valid", model, epoch, metrics)
+        lambda model, nn, epoch, metrics: log_run(aml_ctx, "valid", model, epoch, metrics)
     )
 
     trainer.train(

@@ -63,7 +63,16 @@ def run(args: argparse.Namespace) -> None:
 
     import jax
 
-    mesh = default_data_mesh(args.world_size)
+    if jax.process_count() > 1:
+        # Multi-host: the mesh must span EVERY participating host's devices;
+        # slicing the global device list would hand all devices to host 0.
+        assert args.world_size is None, (
+            "--world-size selects LOCAL devices and is single-host only; "
+            "under --coordinator the mesh spans all hosts' devices"
+        )
+        mesh = default_data_mesh()
+    else:
+        mesh = default_data_mesh(args.world_size)
     logging.info("Data mesh over %s devices (%s).", mesh.shape["data"], jax.devices())
 
     # Per-host file interleaving (reference: traindistributed.py:37-47).
@@ -74,8 +83,12 @@ def run(args: argparse.Namespace) -> None:
             args.train_data_path, shuffle=True, rank=rank, world_size=world
         )
     )
+    # Validation is rank-sharded too (each host evaluates 1/world of it;
+    # the eval step's weighted psum makes the metrics global).
     validation_data = LazyDataIterable(
-        lambda: load_from_folder(args.valid_data_path, shuffle=False)
+        lambda: load_from_folder(
+            args.valid_data_path, shuffle=False, rank=rank, world_size=world
+        )
     )
 
     model_path = args.model_filename
@@ -90,6 +103,13 @@ def run(args: argparse.Namespace) -> None:
             padding=default_padding(max_nodes=args.max_nodes)
         )
         params = None
+    # Metadata must cover the FULL dataset (the reference computes it once
+    # with rank 0 seeing everything, distributedtrainer.py:235-237) — NOT
+    # this host's file shard; the trainer broadcasts the result to every
+    # host before training.
+    metadata_data = LazyDataIterable(
+        lambda: load_from_folder(args.train_data_path, shuffle=False)
+    )
 
     trainer = DistributedModelTrainer(
         model,
@@ -107,12 +127,18 @@ def run(args: argparse.Namespace) -> None:
     if params is not None:
         trainer.neural_module = model.build_neural_module()
         trainer.params = params
+    elif initialize_metadata:
+        trainer.load_metadata_and_create_network(metadata_data)
+        initialize_metadata = False
 
+    from ptgnn_tpu.utils.amlutils import get_run_context
+
+    aml_ctx = get_run_context()
     trainer.register_train_epoch_end_hook(
-        lambda model, nn, epoch, metrics: log_run(None, "train", model, epoch, metrics)
+        lambda model, nn, epoch, metrics: log_run(aml_ctx, "train", model, epoch, metrics)
     )
     trainer.register_validation_epoch_end_hook(
-        lambda model, nn, epoch, metrics: log_run(None, "valid", model, epoch, metrics)
+        lambda model, nn, epoch, metrics: log_run(aml_ctx, "valid", model, epoch, metrics)
     )
 
     trainer.train(

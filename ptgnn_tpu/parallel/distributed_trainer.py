@@ -73,6 +73,45 @@ class DistributedModelTrainer(ModelTrainer):
         return jax.process_index() == 0
 
     # ------------------------------------------------------------------
+    def load_metadata_and_create_network(
+        self, training_data, parallelize: bool = True, show_progress_bar: bool = False
+    ) -> None:
+        """Multi-host: ONLY the coordinator computes metadata (vocabularies,
+        edge-type registries) and initializes parameters; the result is
+        broadcast so every host compiles the same program over identical
+        vocabularies — per-host metadata from rank-sharded files would
+        diverge silently (the reference computes metadata once on rank 0
+        before spawning, distributedtrainer.py:235-237)."""
+        if jax.process_count() == 1:
+            return super().load_metadata_and_create_network(
+                training_data, parallelize, show_progress_bar
+            )
+        import pickle
+
+        from jax.experimental import multihost_utils
+
+        if self.is_coordinator:
+            super().load_metadata_and_create_network(
+                training_data, parallelize, show_progress_bar
+            )
+            blob = pickle.dumps(
+                (self._model, jax.tree_util.tree_map(np.asarray, self._params))
+            )
+            payload = np.frombuffer(blob, np.uint8)
+        else:
+            payload = np.zeros(0, np.uint8)
+        n = int(
+            multihost_utils.broadcast_one_to_all(np.asarray(len(payload), np.int64))
+        )
+        buf = np.zeros(n, np.uint8)
+        buf[: len(payload)] = payload
+        buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+        if not self.is_coordinator:
+            model, params = pickle.loads(buf.tobytes())
+            self._model = model
+            self._neural_module = model.build_neural_module()
+            self._params = params
+
     def _init_opt_state(self, optimizer: optax.GradientTransformation):
         """Materialize the moments directly in their target (ZeRO-1)
         shardings: optimizer.init on raw params would build the full

@@ -36,6 +36,18 @@ def _flatten(prefix: str, metrics: Dict[str, Any], out: Dict[str, float]) -> Non
             out[name] = float(value)
 
 
+def get_run_context() -> Optional[Any]:
+    """The AzureML run context, or None when azureml is unavailable /
+    running outside an AML job (reference: typilus/train.py uses
+    Run.get_context())."""
+    try:
+        from azureml.core.run import Run  # type: ignore
+
+        return Run.get_context()
+    except Exception:  # noqa: BLE001 - azureml absent or offline run
+        return None
+
+
 def log_run(aml_ctx, fold: str, model, epoch: int, metrics: Dict[str, Any]) -> None:
     """Forward per-epoch metrics to an AML-style run context, if any."""
     if aml_ctx is None:
