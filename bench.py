@@ -16,15 +16,91 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
+import threading
 import time
 
 
 BASELINE_EDGES_PER_SEC = 1_129_000.0  # reference, 1x V100
 
+# Mutable holder for the best result measured so far. The watchdog (and the
+# failure paths) print this, so a wedged phase never loses an earlier phase's
+# number: the driver always gets ONE parseable JSON line on stdout.
+_RESULT = {
+    "metric": "graph2class_train_edges_per_sec",
+    "value": 0.0,
+    "unit": "edges/s",
+    "vs_baseline": 0.0,
+}
+_EMITTED = threading.Event()
+
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+def emit(**extra) -> None:
+    """Print the single JSON result line exactly once."""
+    if _EMITTED.is_set():
+        return
+    _EMITTED.set()
+    out = dict(_RESULT)
+    out.update(extra)
+    print(json.dumps(out), flush=True)
+
+
+def probe_backend(attempts: int = 4, probe_timeout: float = 180.0) -> bool:
+    """Check the TPU backend comes up, in a subprocess, with bounded retries.
+
+    The axon tunnel has two observed failure modes (round 2): a fast
+    `UNAVAILABLE` raise and an indefinite hang at backend init. Probing in a
+    subprocess bounds both; retry-with-backoff rides out transient wedges.
+    A probe subprocess blocked at *init* has no in-flight compile, so killing
+    it on timeout does not wedge the tunnel (unlike killing a mid-compile
+    process).
+    """
+    code = "import jax; print('NDEV', jax.device_count(), jax.default_backend())"
+    backoffs = [20.0, 60.0, 120.0]
+    for i in range(attempts):
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True,
+                text=True,
+                timeout=probe_timeout,
+            )
+            if r.returncode == 0 and "NDEV" in r.stdout:
+                log(f"backend probe ok in {time.time()-t0:.1f}s: {r.stdout.strip()}")
+                return True
+            log(
+                f"backend probe attempt {i+1}/{attempts} failed rc={r.returncode}: "
+                f"{(r.stderr or r.stdout).strip().splitlines()[-1] if (r.stderr or r.stdout).strip() else '?'}"
+            )
+        except subprocess.TimeoutExpired:
+            log(f"backend probe attempt {i+1}/{attempts} timed out after {probe_timeout:.0f}s")
+        if i < attempts - 1:
+            wait = backoffs[min(i, len(backoffs) - 1)]
+            log(f"retrying backend probe in {wait:.0f}s")
+            time.sleep(wait)
+    return False
+
+
+def start_watchdog(budget_s: float) -> None:
+    """Emit whatever has been measured and hard-exit if the bench wedges."""
+
+    def fire() -> None:
+        log(f"WATCHDOG: bench exceeded {budget_s:.0f}s budget; emitting partial result")
+        emit(error="watchdog_timeout")
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
+
+    t = threading.Timer(budget_s, fire)
+    t.daemon = True
+    t.start()
 
 
 def main() -> None:
@@ -37,7 +113,20 @@ def main() -> None:
     parser.add_argument("--edge-tile", type=int, default=128)
     parser.add_argument("--agg-rows", type=int, default=256)
     parser.add_argument("--agg-sum-tile", type=int, default=512)
+    parser.add_argument(
+        "--budget-s",
+        type=float,
+        default=float(os.environ.get("PTGNN_TPU_BENCH_BUDGET_S", "1500")),
+        help="hard wall-clock budget; on expiry the best partial result is emitted",
+    )
+    parser.add_argument("--no-probe", action="store_true", help="skip the backend probe")
     args = parser.parse_args()
+
+    start_watchdog(args.budget_s)
+
+    if not args.no_probe and not probe_backend():
+        emit(error="backend_unavailable")
+        return
 
     import jax
     import optax
@@ -140,6 +229,8 @@ def main() -> None:
     elapsed = time.time() - t0
 
     edges_per_sec = total_edges / elapsed
+    _RESULT["value"] = round(edges_per_sec, 1)
+    _RESULT["vs_baseline"] = round(edges_per_sec / BASELINE_EDGES_PER_SEC, 3)
     log(
         f"{args.steps} steps in {elapsed:.2f}s: "
         f"{edges_per_sec/1e3:.0f}k edges/s, {total_nodes/elapsed/1e3:.0f}k nodes/s, "
@@ -153,32 +244,35 @@ def main() -> None:
         loss, _ = module.apply(p, **m, train=False)
         return loss
 
-    ev = jax.jit(eval_step)
-    l0 = ev(params, device_batches[0])
-    float(l0)
-    t0 = time.time()
-    ev_edges = 0
-    for i in range(args.steps):
-        l0 = ev(params, device_batches[i % len(device_batches)])
-        ev_edges += batch_sizes[i % len(device_batches)][0]
-    float(l0)
-    ev_elapsed = time.time() - t0
-    log(
-        f"inference: {ev_edges/ev_elapsed/1e3:.0f}k edges/s "
-        f"({ev_edges/ev_elapsed/2_527_000:.2f}x of the reference's V100 test throughput)"
-    )
-
-    print(
-        json.dumps(
-            {
-                "metric": "graph2class_train_edges_per_sec",
-                "value": round(edges_per_sec, 1),
-                "unit": "edges/s",
-                "vs_baseline": round(edges_per_sec / BASELINE_EDGES_PER_SEC, 3),
-            }
+    # The inference phase is informational; never let it take down the
+    # already-measured training number.
+    try:
+        ev = jax.jit(eval_step)
+        l0 = ev(params, device_batches[0])
+        float(l0)
+        t0 = time.time()
+        ev_edges = 0
+        for i in range(args.steps):
+            l0 = ev(params, device_batches[i % len(device_batches)])
+            ev_edges += batch_sizes[i % len(device_batches)][0]
+        float(l0)
+        ev_elapsed = time.time() - t0
+        log(
+            f"inference: {ev_edges/ev_elapsed/1e3:.0f}k edges/s "
+            f"({ev_edges/ev_elapsed/2_527_000:.2f}x of the reference's V100 test throughput)"
         )
-    )
+    except Exception as exc:  # pragma: no cover - defensive
+        log(f"inference phase failed ({exc!r}); emitting the training result")
+
+    emit()
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        emit(error=f"{type(exc).__name__}: {exc}"[:300])
+        sys.exit(0)

@@ -506,13 +506,20 @@ class GraphBatcher:
         block boundary (making block attention exact for it — the
         reference's chunk-aligned-to-graph semantics,
         selfattmessagepassing.py:59-75). Graphs larger than a block are
-        chunked across consecutive blocks, like the reference. Next-Fit uses
-        < 2x slots, so the static budget below always suffices."""
+        chunked across consecutive blocks, like the reference.
+
+        The static budget is the exact worst case, not the Next-Fit <2x
+        folklore (which the double seal around a just-over-block graph
+        breaks): each graph costs at most a pre-seal (block-1) plus
+        ceil(n/block)*block <= n + block-1, so the total is bounded by both
+        n_pad + 2*(block-1)*max_graphs and (pairing each pre-seal with the
+        >=1 real node that forced it) 3*n_pad."""
         block = self.padding.att_block
         if not block:
             return None
         n_pad = self.padding.max_nodes
-        n_blocks = -(-(2 * n_pad) // block) + 1
+        worst = min(n_pad + 2 * block * self.padding.max_graphs, 3 * n_pad)
+        n_blocks = -(-worst // block) + 1
         order = np.full(n_blocks * block, n_pad, np.int32)
         cursor = 0  # next free slot in the flat order array
         offset = 0  # node id of the current graph's first node

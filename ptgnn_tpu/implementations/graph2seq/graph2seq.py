@@ -252,20 +252,30 @@ class Graph2Seq(AbstractNeuralModel[CodeGraph2Seq, TensorizedGraph2Seq, Graph2Se
                 )[:4]
             )
             cache[id(trained_network)] = encode
+        # Tensorize carrying each sample's POSITION as the input_data (the
+        # minibatch driver treats it as opaque): dropped samples then align
+        # by index rather than by identity/equality, which misassigns results
+        # when the dataset contains equal duplicates and one copy is dropped
+        # by the size caps.
+        from ptgnn_tpu.core.iterators import ThreadedIterator
+
+        indexed_stream = ThreadedIterator(
+            ((self.tensorize(d), i) for i, d in enumerate(data)), enabled=True
+        )
         decoded: List = []
-        survivors: List = []
-        for mb_data, input_data in self.minibatch_iterator(
-            self.tensorize_dataset(iter(data), return_input_data=True),
+        survivor_idx: List[int] = []
+        for mb_data, mb_indices in self.minibatch_iterator(
+            (s for s in indexed_stream if s[0] is not None),
             max_minibatch_size=max_minibatch_size,
         ):
             input_concrete_values: List[str] = []
-            for sample in input_data:
-                sample = enforce_not_None(sample)
+            for i in mb_indices:
+                sample = data[enforce_not_None(i)]
                 input_concrete_values.extend(
                     sample["node_labels"][k].lower() for k in sample["backbone_sequence"]
                 )
             memories, origin, memory_mask, initial_states = encode(params, mb_data["batch"])
-            survivors.extend(input_data)
+            survivor_idx.extend(mb_indices)
             decoded.extend(
                 decode_fn(
                     input_concrete_values=input_concrete_values,
@@ -275,33 +285,22 @@ class Graph2Seq(AbstractNeuralModel[CodeGraph2Seq, TensorizedGraph2Seq, Graph2Se
                     initial_states=initial_states,
                     params=params["decoder"],
                     neural_module=trained_network.decoder,
-                    num_real_targets=len(input_data),
+                    num_real_targets=len(mb_indices),
                 )
             )
         if len(decoded) == len(data):
             return decoded
         # Some samples were dropped (size caps at tensorize, or not fitting
-        # an empty batch). Keep positional alignment with ``data`` by
-        # slotting None for dropped samples — survivors preserve stream
-        # order, so identity matching recovers the mapping.
+        # an empty batch): slot None at their positions.
         import logging
 
         logging.getLogger(__name__).warning(
             "decode: %d of %d samples were dropped by size caps; their "
             "results are None.", len(data) - len(decoded), len(data),
         )
-        pairs = iter(zip(survivors, decoded))
-        nxt = next(pairs, None)
-        aligned: List = []
-        for d in data:
-            # identity when the pipeline kept the objects, equality when the
-            # multiprocess tensorizer pickled them across the fork
-            if nxt is not None and (nxt[0] is d or nxt[0] == d):
-                aligned.append(nxt[1])
-                nxt = next(pairs, None)
-            else:
-                aligned.append(None)
-        assert nxt is None, "decoded results could not be aligned to inputs"
+        aligned: List = [None] * len(data)
+        for i, result in zip(survivor_idx, decoded):
+            aligned[i] = result
         return aligned
 
     def greedy_decode(

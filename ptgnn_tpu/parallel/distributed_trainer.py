@@ -86,18 +86,29 @@ class DistributedModelTrainer(ModelTrainer):
             return super().load_metadata_and_create_network(
                 training_data, parallelize, show_progress_bar
             )
-        import pickle
-
-        from jax.experimental import multihost_utils
-
         if self.is_coordinator:
             super().load_metadata_and_create_network(
                 training_data, parallelize, show_progress_bar
             )
-            blob = pickle.dumps(
-                (self._model, jax.tree_util.tree_map(np.asarray, self._params))
-            )
-            payload = np.frombuffer(blob, np.uint8)
+            payload = (self._model, jax.tree_util.tree_map(np.asarray, self._params))
+        else:
+            payload = None
+        payload = self._broadcast_from_coordinator(payload)
+        if not self.is_coordinator:
+            model, params = payload
+            self._model = model
+            self._neural_module = model.build_neural_module()
+            self._params = params
+
+    @staticmethod
+    def _broadcast_from_coordinator(obj):
+        """Pickle-broadcast an object from process 0 to every host."""
+        import pickle
+
+        from jax.experimental import multihost_utils
+
+        if jax.process_index() == 0:
+            payload = np.frombuffer(pickle.dumps(obj), np.uint8)
         else:
             payload = np.zeros(0, np.uint8)
         n = int(
@@ -106,11 +117,7 @@ class DistributedModelTrainer(ModelTrainer):
         buf = np.zeros(n, np.uint8)
         buf[: len(payload)] = payload
         buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
-        if not self.is_coordinator:
-            model, params = pickle.loads(buf.tobytes())
-            self._model = model
-            self._neural_module = model.build_neural_module()
-            self._params = params
+        return pickle.loads(buf.tobytes())
 
     def _init_opt_state(self, optimizer: optax.GradientTransformation):
         """Materialize the moments directly in their target (ZeRO-1)
@@ -353,7 +360,7 @@ class DistributedModelTrainer(ModelTrainer):
         return opt_state
 
     def _run_validation(self, validation_tensors, epoch, best_target_metric, parallelize):
-        sum_epoch_loss, num_minibatches, num_samples = 0.0, 0, 0
+        sum_epoch_loss, sum_weight, num_samples = 0.0, 0.0, 0
         metrics_acc = MetricsAccumulator()
         params, _ = self._globalize(self.params, None)
         for stacked_mb, raw_samples, weights in self._group_minibatches(
@@ -366,11 +373,15 @@ class DistributedModelTrainer(ModelTrainer):
             )
         ):
             stacked_mb = self._dp.device_put_batch(stacked_mb)
-            loss, metrics = self._eval_step_fn(
+            loss, metrics, group_w = self._eval_step_fn(
                 params, stacked_mb, self._dp.device_put_weights(weights)
             )
-            sum_epoch_loss += float(loss)
-            num_minibatches += 1
+            # Weight each group by its GLOBAL real-sample count: all-padding
+            # groups (exhausted hosts keeping the SPMD step counts aligned)
+            # carry weight 0 and must not deflate the epoch loss.
+            group_w = float(group_w)
+            sum_epoch_loss += float(loss) * group_w
+            sum_weight += group_w
             num_samples += len(raw_samples)
             metrics_acc.update(metrics)
         # A host whose validation shard is empty still executes the SPMD eval
@@ -388,7 +399,7 @@ class DistributedModelTrainer(ModelTrainer):
                 )
             )
         assert num_samples > 0, "No validation data was found."
-        validation_loss = sum_epoch_loss / num_minibatches
+        validation_loss = sum_epoch_loss / max(sum_weight, 1e-9)
         self.LOGGER.info("Epoch %i: Valid Loss %.2f", epoch + 1, validation_loss)
 
         validation_metrics = self.neural_module.finalize_metrics(metrics_acc.totals())
@@ -415,12 +426,24 @@ class DistributedModelTrainer(ModelTrainer):
             super()._save_checkpoint()
 
     def _restore_checkpoint(self) -> None:
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
+        if jax.process_count() == 1:
+            super()._restore_checkpoint()
+            self._globalized = False
+            return
+        from jax.experimental import multihost_utils
 
-            # don't read while the coordinator may still be writing
-            multihost_utils.sync_global_devices("ptgnn_tpu_restore_checkpoint")
-        super()._restore_checkpoint()
+        # don't read while the coordinator may still be writing
+        multihost_utils.sync_global_devices("ptgnn_tpu_restore_checkpoint")
+        # Checkpoints are written coordinator-only; on hosts without a shared
+        # filesystem the path may be stale or absent locally, so ONLY the
+        # coordinator reads and its params are broadcast — otherwise each
+        # host would silently contribute different 'replicated' shards.
+        if self.is_coordinator:
+            super()._restore_checkpoint()
+            payload = jax.tree_util.tree_map(np.asarray, self._params)
+        else:
+            payload = None
+        self._params = self._broadcast_from_coordinator(payload)
         self._globalized = False  # params are host-side again
 
     def _save_optimizer_state(self, opt_state, next_epoch: int) -> None:

@@ -269,10 +269,14 @@ class DataParallel:
         def per_device_eval(params, mb, w):
             loss, metrics = self._loss_fn(params, mb, None, False)
             w = w.reshape(())
-            wsum = jnp.maximum(jax.lax.psum(w, axis), 1e-9)
+            wsum_raw = jax.lax.psum(w, axis)
+            wsum = jnp.maximum(wsum_raw, 1e-9)
             loss = jax.lax.psum(loss * w, axis) / wsum
             metrics = jax.tree_util.tree_map(lambda m: jax.lax.psum(m, axis), metrics)
-            return loss, metrics
+            # The raw global weight total lets callers weight per-group losses
+            # so all-padding groups (exhausted multi-host shards) don't
+            # deflate the epoch mean.
+            return loss, metrics, wsum_raw
 
         eval_fn = _shard_map(
             lambda params, smb, w: per_device_eval(
@@ -280,7 +284,7 @@ class DataParallel:
             ),
             mesh=self.mesh,
             in_specs=(P(), P(axis), P(axis)),
-            out_specs=(P(), P()),
+            out_specs=(P(), P(), P()),
         )
 
         def eval_step(params, stacked_mb, weights=None):

@@ -228,3 +228,50 @@ def test_layout_invariants_fuzz():
             np.testing.assert_array_equal(
                 grouped, np.repeat(grouped[:, :1], k, axis=1)
             )
+
+
+def test_att_order_worst_case_seal_overrun():
+    """Regression: alternating 1-node and (att_block+1)-node graphs force a
+    pre-seal AND a post-seal around every big graph (~3x slot usage), which
+    overran the old 2*max_nodes att_order buffer with a numpy broadcast
+    ValueError at finalize."""
+    block = 8
+    max_nodes = 128
+    pad = BatchPadding(
+        max_nodes=max_nodes, max_edge_slots=4096, max_graphs=32,
+        edge_tile=32, agg_rows=32, att_block=block,
+    )
+    b = GraphBatcher(1, pad, introduce_backwards_edges=False, add_self_edges=False)
+    mb = b.initialize()
+    sizes = []
+    toggle = True
+    while True:
+        n = 1 if toggle else block + 1
+        toggle = not toggle
+        src = np.zeros(max(n - 1, 1), np.int32)
+        g = TensorizedGraphData(
+            num_nodes=n, node_tensorized_data=[0] * n,
+            adjacency_lists=[(src, src)], edge_features=None,
+            reference_nodes={},
+        )
+        if not b.can_add(g, mb):
+            break
+        b.extend(g, mb)
+        sizes.append(n)
+    assert len(sizes) >= 8, "packing setup failed to admit the adversarial mix"
+    batch = b.finalize(mb, node_data={}, reference_names=[])  # must not raise
+    order = np.asarray(batch.att_order)
+    flat = order.reshape(-1)
+    total = sum(sizes)
+    real = flat[flat < total]
+    assert sorted(real.tolist()) == list(range(total))
+    # every graph <= block sits inside exactly one block
+    offset = 0
+    for n in sizes:
+        if n <= block:
+            rows = {
+                int(np.where(flat == node)[0][0]) // block
+                for node in range(offset, offset + n)
+            }
+            assert len(rows) == 1
+        offset += n
