@@ -61,6 +61,237 @@ def _tile_ceil(n: int, tile: int) -> int:
     return int(math.ceil(n / tile)) * tile
 
 
+def required_edge_slots(
+    seg_counts: Dict[Tuple[int, int], int], *, tile: int, align: int, num_blocks: int
+) -> int:
+    """Slots the unified layout needs for the given (row block, type) -> edge
+    counts: every segment pads to ``tile``, every block's run pads to
+    ``align`` (the sum supertile), and empty blocks still get one aligned run
+    so their output block initializes."""
+    per_block: Dict[int, int] = {}
+    for (b, _t), c in seg_counts.items():
+        per_block[b] = per_block.get(b, 0) + _tile_ceil(c, tile)
+    slots = sum(_tile_ceil(s, align) for s in per_block.values())
+    slots += align * (num_blocks - len(per_block))
+    return slots
+
+
+def assemble_layout_arrays(
+    senders_r: np.ndarray,
+    receivers_r: np.ndarray,
+    types_r: np.ndarray,
+    feats_r: Optional[np.ndarray],
+    *,
+    max_nodes: int,
+    e_pad: int,
+    tile: int,
+    agg_rows: int,
+    num_types: int,
+    align: int,
+    sender_domain: Optional[int] = None,
+) -> Optional[Tuple[np.ndarray, ...]]:
+    """Assemble raw edge arrays into the unified (row block, type, receiver)
+    layout. Tries the C++ assembler, falls back to numpy. Returns
+    (senders, receivers, edge_types, local_rows, edge_mask, tile_types,
+    tile_row_blocks, counts [num_blocks, agg_rows], feature_slot), or None if
+    the edges exceed the ``e_pad`` budget.
+
+    ``sender_domain`` bounds the sender ids (they are copied through, not
+    used for the layout); defaults to ``max_nodes``. Node-sharded boundary
+    layouts (parallel/node_sharding.py) pass a recv-buffer domain here.
+    """
+    from ptgnn_tpu import native as native_mod
+
+    if feats_r is None:
+        feats_r = np.full(len(senders_r), -1, np.int32)
+    native_result = native_mod.assemble_edge_layout(
+        senders_r, receivers_r, types_r, feats_r,
+        max_nodes=max_nodes, e_pad=e_pad, tile=tile, agg_rows=agg_rows,
+        num_types=num_types, align=align, sender_domain=sender_domain,
+    )
+    if native_result is not None:
+        return native_result
+    if native_mod.get_assembler() is not None:
+        # the native assembler was available and reported budget overflow
+        if required_edge_slots(
+            _seg_counts_of(receivers_r, types_r, agg_rows, num_types),
+            tile=tile, align=align, num_blocks=-(-max_nodes // agg_rows),
+        ) > e_pad:
+            return None
+    return _assemble_layout_python(
+        senders_r, receivers_r, types_r, feats_r,
+        max_nodes=max_nodes, e_pad=e_pad, tile=tile, agg_rows=agg_rows,
+        num_types=num_types, align=align,
+    )
+
+
+def build_adjacency_struct(
+    layout_arrays: Tuple[np.ndarray, ...],
+    *,
+    tile: int,
+    align: int,
+    num_fwd_types: int,
+    introduce_backwards_edges: bool,
+) -> AdjacencyStruct:
+    """Wrap assembled layout arrays (the ``assemble_layout_arrays`` tuple)
+    into an AdjacencyStruct with the derived plan fields: transpose tile-type
+    map, supertile view, and sublane-replicated row indices."""
+    (senders, receivers, edge_types, local_rows, edge_mask, tile_types,
+     tile_row_blocks, counts, feature_slot) = layout_arrays
+    e_pad = senders.shape[0]
+    n_tiles = e_pad // tile
+
+    # Transpose type map: fwd type t <-> backward type T+t, self -> self.
+    # Lets gradients re-derive sender-side scatters as receiver-keyed
+    # aggregations over the materialized transpose edges (ops/fused_mp.py).
+    tile_types_transposed = None
+    if introduce_backwards_edges:
+        base = num_fwd_types
+        tt = tile_types
+        tile_types_transposed = np.where(
+            tt < base, tt + base, np.where(tt < 2 * base, tt - base, tt)
+        ).astype(np.int32)
+
+    # Supertile view for the sum kernel: valid when every group of
+    # agg_sum_tile/edge_tile consecutive tiles shares one row block
+    # (guaranteed by the aligned python layout; the check keeps the
+    # native assembler path honest too).
+    super_tile_row_blocks = None
+    if align > tile:
+        k = align // tile
+        grouped = tile_row_blocks.reshape(n_tiles // k, k)
+        if bool(np.all(grouped == grouped[:, :1])):
+            super_tile_row_blocks = np.ascontiguousarray(grouped[:, 0])
+
+    def rows_row(granularity: int):
+        # shared with the plan builder so the sublane layout can't drift
+        from ptgnn_tpu.ops.pallas.segment_kernels import replicate_rows_sublanes
+
+        return replicate_rows_sublanes(local_rows, granularity)
+
+    return AdjacencyStruct(
+        senders=senders,
+        receivers=receivers,
+        edge_types=edge_types,
+        tile_types=tile_types,
+        mask=edge_mask,
+        tile_types_transposed=tile_types_transposed,
+        local_rows=local_rows.reshape(e_pad, 1),
+        local_rows_row=rows_row(tile),
+        local_rows_row_super=(
+            rows_row(align) if super_tile_row_blocks is not None else None
+        ),
+        tile_row_blocks=tile_row_blocks,
+        agg_counts=counts,
+        super_tile_row_blocks=super_tile_row_blocks,
+        edge_feature_slot=feature_slot,
+    )
+
+
+def _seg_counts_of(
+    receivers: np.ndarray, types: np.ndarray, agg_rows: int, num_types: int
+) -> Dict[Tuple[int, int], int]:
+    delta: Dict[Tuple[int, int], int] = {}
+    if len(receivers):
+        keys = (receivers // agg_rows).astype(np.int64) * (num_types + 1) + types
+        uniq, cnt = np.unique(keys, return_counts=True)
+        for k, c in zip(uniq, cnt):
+            b, t = divmod(int(k), num_types + 1)
+            delta[(b, t)] = int(c)
+    return delta
+
+
+def _assemble_layout_python(
+    senders_r, receivers_r, types_r, feats_r, *,
+    max_nodes, e_pad, tile, agg_rows, num_types, align,
+) -> Optional[Tuple[np.ndarray, ...]]:
+    """Numpy oracle for the unified layout (mirrors the C++ assembler)."""
+    r = agg_rows
+    n_pad = max_nodes
+    n_tiles = e_pad // tile
+    num_blocks = -(-max_nodes // agg_rows)
+    t_total = num_types
+
+    # Sort by (row block, type, receiver).
+    block_r = receivers_r // r
+    order = np.lexsort((receivers_r, types_r, block_r))
+    senders_r = senders_r[order]
+    receivers_r = receivers_r[order]
+    types_r = types_r[order]
+    feats_r = feats_r[order]
+    block_r = block_r[order]
+
+    # Segment boundaries where (block, type) changes.
+    seg_key = block_r.astype(np.int64) * (t_total + 1) + types_r
+    if len(seg_key):
+        seg_bounds = np.concatenate(
+            [[0], np.nonzero(np.diff(seg_key))[0] + 1, [len(seg_key)]]
+        )
+    else:
+        seg_bounds = np.array([0, 0])
+
+    senders = np.zeros(e_pad, np.int32)
+    receivers = np.full(e_pad, n_pad, np.int32)  # OOB -> dropped
+    edge_types = np.zeros(e_pad, np.int32)
+    tile_types = np.zeros(n_tiles, np.int32)
+    tile_row_blocks = np.zeros(n_tiles, np.int32)
+    local_rows = np.full(e_pad, r, np.int32)  # sentinel R
+    edge_mask = np.zeros(e_pad, bool)
+    feature_slot = np.full(e_pad, -1, np.int32)
+
+    cursor = 0
+    tile_cursor = 0
+    seg_idx = 0
+    num_segments = len(seg_bounds) - 1
+    for b in range(num_blocks):
+        block_start = cursor
+        while seg_idx < num_segments:
+            s0, s1 = seg_bounds[seg_idx], seg_bounds[seg_idx + 1]
+            if s1 <= s0 or block_r[s0] != b:
+                if s1 <= s0:
+                    seg_idx += 1
+                    continue
+                break
+            c = s1 - s0
+            seg = _tile_ceil(c, tile)
+            t = int(types_r[s0])
+            if cursor + seg > e_pad:
+                return None  # budget exceeded
+            senders[cursor : cursor + c] = senders_r[s0:s1]
+            receivers[cursor : cursor + c] = receivers_r[s0:s1]
+            feature_slot[cursor : cursor + c] = feats_r[s0:s1]
+            local_rows[cursor : cursor + c] = receivers_r[s0:s1] - b * r
+            edge_types[cursor : cursor + seg] = t
+            edge_mask[cursor : cursor + c] = True
+            tile_types[tile_cursor : tile_cursor + seg // tile] = t
+            tile_row_blocks[tile_cursor : tile_cursor + seg // tile] = b
+            cursor += seg
+            tile_cursor += seg // tile
+            seg_idx += 1
+        # Pad the block's run to the supertile alignment with all-padding
+        # tiles mapped to this block. Empty blocks get one full aligned
+        # run so their output block still initializes.
+        target = block_start + _tile_ceil(max(cursor - block_start, 1), align or tile)
+        if target > e_pad:
+            return None
+        pad_tiles = (target - cursor) // tile
+        tile_row_blocks[tile_cursor : tile_cursor + pad_tiles] = b
+        cursor = target
+        tile_cursor += pad_tiles
+    # Trailing spare tiles continue the last row block (all padding).
+    if tile_cursor < n_tiles:
+        tile_row_blocks[tile_cursor:] = num_blocks - 1
+
+    counts = np.zeros(num_blocks * r, np.int32)
+    if len(receivers_r):
+        np.add.at(counts, receivers_r, 1)
+
+    return (
+        senders, receivers, edge_types, local_rows, edge_mask, tile_types,
+        tile_row_blocks, counts.reshape(num_blocks, r), feature_slot,
+    )
+
+
 class GraphBatcher:
     """Accumulates TensorizedGraphData into one statically shaped GraphBatch.
 
@@ -185,17 +416,12 @@ class GraphBatcher:
         )
 
     def _slots_for(self, seg_counts: Dict[Tuple[int, int], int]) -> int:
-        tile = self.padding.edge_tile
-        align = self._block_align
-        # (block, type) segments pad to edge_tile; each block's run then pads
-        # to the supertile alignment; empty blocks still get one aligned run
-        # so their output block initializes.
-        per_block: Dict[int, int] = {}
-        for (b, _t), c in seg_counts.items():
-            per_block[b] = per_block.get(b, 0) + _tile_ceil(c, tile)
-        slots = sum(_tile_ceil(s, align) for s in per_block.values())
-        slots += align * (self.num_row_blocks - len(per_block))
-        return slots
+        return required_edge_slots(
+            seg_counts,
+            tile=self.padding.edge_tile,
+            align=self._block_align,
+            num_blocks=self.num_row_blocks,
+        )
 
     def _merged_seg_counts(self, graph, offset) -> Dict[Tuple[int, int], int]:
         # can_add -> extend call this back-to-back for the same (graph,
@@ -300,103 +526,19 @@ class GraphBatcher:
         else:
             senders_r = receivers_r = types_r = feats_r = np.zeros(0, np.int32)
 
-        # Fast path: the C++ assembler (ptgnn_tpu/native) builds the layout
-        # in one pass; the Python code below is the fallback + oracle.
-        from ptgnn_tpu import native as native_mod
-
-        native_result = native_mod.assemble_edge_layout(
+        result = assemble_layout_arrays(
             senders_r, receivers_r, types_r, feats_r,
             max_nodes=n_pad, e_pad=e_pad, tile=tile, agg_rows=r,
             num_types=t_total, align=self._block_align,
         )
-        if native_result is not None:
-            (senders, receivers, edge_types, local_rows, edge_mask,
-             tile_types, tile_row_blocks, counts, feature_slot) = native_result
-            return self._build_graph_batch(
-                mb, node_data, reference_names,
-                senders=senders, receivers=receivers, edge_types=edge_types,
-                local_rows=local_rows, edge_mask=edge_mask,
-                tile_types=tile_types, tile_row_blocks=tile_row_blocks,
-                counts=counts, feature_slot=feature_slot,
-            )
-
-        # Sort by (row block, type, receiver).
-        block_r = receivers_r // r
-        order = np.lexsort((receivers_r, types_r, block_r))
-        senders_r = senders_r[order]
-        receivers_r = receivers_r[order]
-        types_r = types_r[order]
-        feats_r = feats_r[order]
-        block_r = block_r[order]
-
-        # Segment boundaries where (block, type) changes.
-        seg_key = block_r.astype(np.int64) * (t_total + 1) + types_r
-        if len(seg_key):
-            seg_bounds = np.concatenate(
-                [[0], np.nonzero(np.diff(seg_key))[0] + 1, [len(seg_key)]]
-            )
-        else:
-            seg_bounds = np.array([0, 0])
-
-        senders = np.zeros(e_pad, np.int32)
-        receivers = np.full(e_pad, n_pad, np.int32)  # OOB -> dropped
-        edge_types = np.zeros(e_pad, np.int32)
-        tile_types = np.zeros(n_tiles, np.int32)
-        tile_row_blocks = np.zeros(n_tiles, np.int32)
-        local_rows = np.full(e_pad, r, np.int32)  # sentinel R
-        edge_mask = np.zeros(e_pad, bool)
-        feature_slot = np.full(e_pad, -1, np.int32)
-
-        align = self._block_align
-        cursor = 0
-        tile_cursor = 0
-        seg_idx = 0
-        num_segments = len(seg_bounds) - 1
-        for b in range(num_blocks):
-            block_start = cursor
-            while seg_idx < num_segments:
-                s0, s1 = seg_bounds[seg_idx], seg_bounds[seg_idx + 1]
-                if s1 <= s0 or block_r[s0] != b:
-                    if s1 <= s0:
-                        seg_idx += 1
-                        continue
-                    break
-                c = s1 - s0
-                seg = _tile_ceil(c, tile)
-                t = int(types_r[s0])
-                senders[cursor : cursor + c] = senders_r[s0:s1]
-                receivers[cursor : cursor + c] = receivers_r[s0:s1]
-                feature_slot[cursor : cursor + c] = feats_r[s0:s1]
-                local_rows[cursor : cursor + c] = receivers_r[s0:s1] - b * r
-                edge_types[cursor : cursor + seg] = t
-                edge_mask[cursor : cursor + c] = True
-                tile_types[tile_cursor : tile_cursor + seg // tile] = t
-                tile_row_blocks[tile_cursor : tile_cursor + seg // tile] = b
-                cursor += seg
-                tile_cursor += seg // tile
-                seg_idx += 1
-            # Pad the block's run to the supertile alignment with all-padding
-            # tiles mapped to this block. Empty blocks get one full aligned
-            # run so their output block still initializes.
-            target = block_start + _tile_ceil(max(cursor - block_start, 1), align)
-            pad_tiles = (target - cursor) // tile
-            tile_row_blocks[tile_cursor : tile_cursor + pad_tiles] = b
-            cursor = target
-            tile_cursor += pad_tiles
-        assert cursor <= e_pad, "batcher admitted more edges than the budget"
-        # Trailing spare tiles continue the last row block (all padding).
-        if tile_cursor < n_tiles:
-            tile_row_blocks[tile_cursor:] = num_blocks - 1
-
-        counts = np.zeros(num_blocks * r, np.int32)
-        if len(receivers_r):
-            np.add.at(counts, receivers_r, 1)
-
+        assert result is not None, "batcher admitted more edges than the budget"
+        (senders, receivers, edge_types, local_rows, edge_mask,
+         tile_types, tile_row_blocks, counts, feature_slot) = result
         return self._build_graph_batch(
             mb, node_data, reference_names,
             senders=senders, receivers=receivers, edge_types=edge_types,
             local_rows=local_rows, edge_mask=edge_mask, tile_types=tile_types,
-            tile_row_blocks=tile_row_blocks, counts=counts.reshape(num_blocks, r),
+            tile_row_blocks=tile_row_blocks, counts=counts,
             feature_slot=feature_slot,
         )
 
@@ -406,58 +548,17 @@ class GraphBatcher:
         feature_slot=None,
     ) -> GraphBatch:
         p = self.padding
-        tile = p.edge_tile
         n_pad, g_pad = p.max_nodes, p.max_graphs
-        e_pad = p.max_edge_slots
-        n_tiles = e_pad // tile
         num_nodes = mb["num_nodes_in_mb"]
         num_graphs = len(mb["num_nodes_per_graph"])
 
-        # Transpose type map: fwd type t <-> backward type T+t, self -> self.
-        # Lets gradients re-derive sender-side scatters as receiver-keyed
-        # aggregations over the materialized transpose edges (ops/fused_mp.py).
-        tile_types_transposed = None
-        if self.introduce_backwards_edges:
-            base = self.num_fwd_edge_types
-            tt = tile_types
-            tile_types_transposed = np.where(
-                tt < base, tt + base, np.where(tt < 2 * base, tt - base, tt)
-            ).astype(np.int32)
-
-        # Supertile view for the sum kernel: valid when every group of
-        # agg_sum_tile/edge_tile consecutive tiles shares one row block
-        # (guaranteed by the aligned python layout; the check keeps the
-        # native assembler path honest too).
-        super_tile_row_blocks = None
-        align = self._block_align
-        if align > tile:
-            k = align // tile
-            grouped = tile_row_blocks.reshape(n_tiles // k, k)
-            if bool(np.all(grouped == grouped[:, :1])):
-                super_tile_row_blocks = np.ascontiguousarray(grouped[:, 0])
-
-        def rows_row(granularity: int):
-            # shared with the plan builder so the sublane layout can't drift
-            from ptgnn_tpu.ops.pallas.segment_kernels import replicate_rows_sublanes
-
-            return replicate_rows_sublanes(local_rows, granularity)
-
-        adjacency = AdjacencyStruct(
-            senders=senders,
-            receivers=receivers,
-            edge_types=edge_types,
-            tile_types=tile_types,
-            mask=edge_mask,
-            tile_types_transposed=tile_types_transposed,
-            local_rows=local_rows.reshape(e_pad, 1),
-            local_rows_row=rows_row(tile),
-            local_rows_row_super=(
-                rows_row(align) if super_tile_row_blocks is not None else None
-            ),
-            tile_row_blocks=tile_row_blocks,
-            agg_counts=counts,
-            super_tile_row_blocks=super_tile_row_blocks,
-            edge_feature_slot=feature_slot,
+        adjacency = build_adjacency_struct(
+            (senders, receivers, edge_types, local_rows, edge_mask, tile_types,
+             tile_row_blocks, counts, feature_slot),
+            tile=p.edge_tile,
+            align=self._block_align,
+            num_fwd_types=self.num_fwd_edge_types,
+            introduce_backwards_edges=self.introduce_backwards_edges,
         )
 
         # ---- node -> graph mapping ----

@@ -64,6 +64,9 @@ class GraphNeuralNetwork(Module):
         # Set by parallel.EdgeParallel: mesh axis the edge array is
         # partitioned over (static module config, not traced state).
         self.edge_partition_axis = None
+        # Set by parallel.NodeParallel: mesh axis the node rows (and their
+        # incoming edges) are partitioned over.
+        self.node_partition_axis = None
 
     @property
     def input_node_state_dim(self) -> int:
@@ -124,6 +127,91 @@ class GraphNeuralNetwork(Module):
             node_representations = jnp.concatenate(all_states, axis=-1)
         return node_representations
 
+    def _gnn_node_sharded(
+        self,
+        params: Params,
+        node_representations: jax.Array,
+        ctx: GraphContext,
+        ns_static,
+        axis: str,
+        *,
+        train: bool,
+        rng: Optional[jax.Array],
+        return_all_states: bool,
+    ) -> jax.Array:
+        """The MP stack under receiver-aligned node sharding
+        (parallel/node_sharding.py): per layer, exchange only the boundary
+        sender features each shard reads (one all_to_all over ``axis``),
+        then run the layer over the [local rows ++ recv] buffer. Aggregation
+        is complete locally because every edge targeting a local row lives on
+        this shard."""
+        from ptgnn_tpu.parallel.node_sharding import (
+            NodeShardCtx,
+            exchange_boundary,
+            merged_adjacency,
+        )
+
+        rows_per = node_representations.shape[0]
+        adj_int = ctx.adjacency
+        adj_bnd = ns_static.adjacency_bnd
+        if self.edge_dropout_rate > 0 and train:
+            # iid across shards: fold the shard index into the dropout key
+            drop_rng = fold(rng, 7919)
+            drop_rng = jax.random.fold_in(drop_rng, jax.lax.axis_index(axis))
+            keep_i = jax.random.bernoulli(
+                fold(drop_rng, 0), 1.0 - self.edge_dropout_rate, adj_int.mask.shape
+            )
+            keep_b = jax.random.bernoulli(
+                fold(drop_rng, 1), 1.0 - self.edge_dropout_rate, adj_bnd.mask.shape
+            )
+            adj_int = adj_int._replace(mask=jnp.logical_and(adj_int.mask, keep_i))
+            adj_bnd = adj_bnd._replace(mask=jnp.logical_and(adj_bnd.mask, keep_b))
+            ctx = ctx._replace(edge_mask_is_static=False)
+        merged = merged_adjacency(adj_int, adj_bnd, rows_per)
+        ctx = ctx._replace(adjacency=merged)
+
+        H = node_representations
+        all_states = [H]
+        stash: Dict[int, jax.Array] = {}
+        for i, layer in enumerate(self.message_passing_layers):
+            layer_params = params["mp_layers"][self._layer_param_index[i]]
+            layer_rng = fold(rng, i)
+            if isinstance(layer, _ResidualOriginLayer):
+                stash[id(layer.target_layer)] = H
+            elif isinstance(layer, AbstractResidualLayer):
+                original = stash.pop(id(layer))
+                H = layer.combine(
+                    layer_params, original, H, train=train, rng=layer_rng
+                )
+            else:
+                if getattr(layer, "supports_node_sharding", True) is False:
+                    raise NotImplementedError(
+                        f"{type(layer).__name__} does not support node-sharded "
+                        "batches (its receptive field crosses shard rows); use "
+                        "EdgeParallel or run it unsharded"
+                    )
+                recv = exchange_boundary(H, ns_static.send_idx, axis)
+                h_ext = jnp.concatenate([H, recv], axis=0)
+                ctx_i = ctx._replace(
+                    node_sharding=NodeShardCtx(
+                        axis=axis,
+                        rows_per=rows_per,
+                        adj_int=adj_int,
+                        adj_bnd=adj_bnd,
+                        h_local=H,
+                        recv=recv,
+                        node_graph_global=ns_static.node_graph_global,
+                        node_mask_global=ns_static.node_mask_global,
+                    )
+                )
+                H = layer.apply(
+                    layer_params, h_ext, ctx_i, train=train, rng=layer_rng
+                )[:rows_per]
+            all_states.append(H)
+        if return_all_states:
+            H = jnp.concatenate(all_states, axis=-1)
+        return H
+
     def apply(
         self,
         params: Params,
@@ -134,6 +222,11 @@ class GraphNeuralNetwork(Module):
         return_all_states: bool = False,
     ) -> Tuple[GnnOutput, Dict[str, Any]]:
         """Returns (GnnOutput, metric accumulators)."""
+        if batch.node_sharding is not None:
+            return self._apply_node_sharded(
+                params, batch, train=train, rng=rng,
+                return_all_states=return_all_states,
+            )
         initial = self.node_embedder.apply(
             params["node_embedder"], **batch.node_data, train=train, rng=fold(rng, 104729)
         )  # [N_pad, D]
@@ -175,6 +268,69 @@ class GraphNeuralNetwork(Module):
             output_node_representations=output,
             node_to_graph_idx=batch.node_graph,
             node_mask=batch.node_mask,
+            node_idx_references={n: r.node_ids for n, r in batch.references.items()},
+            node_graph_idx_reference={n: r.graph_ids for n, r in batch.references.items()},
+            reference_masks={n: r.mask for n, r in batch.references.items()},
+            num_graphs=batch.num_graphs,
+            graph_mask=batch.graph_mask,
+        )
+        return gnn_out, metrics
+
+    def _apply_node_sharded(
+        self,
+        params: Params,
+        batch: GraphBatch,
+        *,
+        train: bool,
+        rng: Optional[jax.Array],
+        return_all_states: bool,
+    ) -> Tuple[GnnOutput, Dict[str, Any]]:
+        """apply() for a receiver-aligned node-sharded batch. Runs inside a
+        shard_map over ``self.node_partition_axis``: the embedder and MP
+        stack see only this shard's rows; the readout all_gathers the final
+        (small, [N, D]) representations so task heads run unchanged on global
+        node ids. Per-layer exchanged volume stays O(boundary * D)."""
+        axis = self.node_partition_axis
+        assert axis is not None, (
+            "node-sharded batch reached a GNN without node_partition_axis set "
+            "(wrap the step with parallel.NodeParallel)"
+        )
+        ns = batch.node_sharding
+        initial = self.node_embedder.apply(
+            params["node_embedder"], **batch.node_data, train=train,
+            rng=fold(rng, 104729),
+        )  # [rows_per, D]
+        assert self.edge_feature_embedder is None or batch.edge_feature_data is None, (
+            "edge features under node sharding are not implemented yet"
+        )
+        ctx = GraphContext(
+            adjacency=batch.adjacency,  # interior; replaced by merged inside
+            edge_features=None,
+            node_graph=batch.node_graph,  # [rows_ext] local
+            node_mask=batch.node_mask,  # [rows_ext] local
+            graph_mask=batch.graph_mask,
+            references=batch.references,
+            att_order=None,
+        )
+        output = self._gnn_node_sharded(
+            params, initial, ctx, ns, axis, train=train, rng=rng,
+            return_all_states=return_all_states,
+        )  # [rows_per, D_out]
+        # Readout: one [N, D] all_gather so heads (reference gathers, node
+        # losses) run on global ids — the only full-node-array buffer; the
+        # stack itself never materializes one.
+        initial_g = jax.lax.all_gather(initial, axis, tiled=True)
+        output_g = jax.lax.all_gather(output, axis, tiled=True)
+        metrics = {
+            "num_graphs": batch.num_graphs,
+            "num_nodes": batch.num_nodes,
+            "num_edges": batch.num_edges,
+        }
+        gnn_out = GnnOutput(
+            input_node_representations=initial_g,
+            output_node_representations=output_g,
+            node_to_graph_idx=ns.node_graph_global,
+            node_mask=ns.node_mask_global,
             node_idx_references={n: r.node_ids for n, r in batch.references.items()},
             node_graph_idx_reference={n: r.graph_ids for n, r in batch.references.items()},
             reference_masks={n: r.mask for n, r in batch.references.items()},

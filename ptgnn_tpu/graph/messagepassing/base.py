@@ -48,6 +48,12 @@ class GraphContext(NamedTuple):
     # [n_blocks, att_block] node permutation for exact block-diagonal
     # self-attention (graph/batching.py), or None.
     att_order: Any = None
+    # NodeShardCtx when the batch is receiver-aligned node-sharded
+    # (parallel/node_sharding.py): node_states is then the extended
+    # [rows_per + S*b] buffer (local rows ++ boundary recv), ctx.adjacency
+    # the plan-less merged layout over it, and the single-linear fused seam
+    # routes through the overlapped interior/boundary split.
+    node_sharding: Any = None
 
     @property
     def max_graphs(self) -> int:
@@ -121,6 +127,18 @@ def fused_linear_message_aggregation_or_none(
         return None
     if ctx.edge_features is not None:
         return None
+    if ctx.node_sharding is not None:
+        # Node-sharded hot path: interior/boundary split with the boundary
+        # all_to_all overlapping interior compute.
+        from ptgnn_tpu.parallel.node_sharding import (
+            node_sharded_linear_message_aggregation,
+        )
+
+        return node_sharded_linear_message_aggregation(
+            weight_stack, ctx, reduction=reduction,
+            use_target_state=use_target_state, dropout_rate=dropout_rate,
+            train=train, rng=rng,
+        )
     if ctx.edge_axis is not None:
         return None
     if not _use_pallas_aggregation():

@@ -54,12 +54,27 @@ class AbstractGlobalGraphExchange(AbstractMessagePassingLayer):
         train: bool = False,
         rng: Optional[jax.Array] = None,
     ) -> jax.Array:
-        inputs = ElementsToSummaryRepresentationInput(
-            element_embeddings=node_states,
-            element_to_sample_map=ctx.node_graph,
-            num_samples=ctx.max_graphs,
-            mask=ctx.node_mask,
-        )
+        if ctx.node_sharding is not None:
+            # Per-graph summaries need a global node view (the var-sized
+            # reduce may be attention-weighted, not just a linear sum). One
+            # transient [N, D] all_gather per exchange layer buys running the
+            # summary module unchanged; the MP stack itself stays sharded.
+            ns = ctx.node_sharding
+            inputs = ElementsToSummaryRepresentationInput(
+                element_embeddings=jax.lax.all_gather(
+                    ns.h_local, ns.axis, tiled=True
+                ),
+                element_to_sample_map=ns.node_graph_global,
+                num_samples=ctx.max_graphs,
+                mask=ns.node_mask_global,
+            )
+        else:
+            inputs = ElementsToSummaryRepresentationInput(
+                element_embeddings=node_states,
+                element_to_sample_map=ctx.node_graph,
+                num_samples=ctx.max_graphs,
+                mask=ctx.node_mask,
+            )
         graph_representations = self.global_graph_representation_module.apply(
             params["summary"], inputs
         )  # [G_pad, D']

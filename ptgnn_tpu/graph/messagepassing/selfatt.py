@@ -73,6 +73,11 @@ def _block_attention(
 
 
 class MultiHeadSelfAttentionMessagePassing(AbstractMessagePassingLayer):
+    # Attention runs over the batcher's global att_order packing, which a
+    # receiver-aligned node shard cannot see; the sharded stack raises a
+    # clear error instead of silently attending within one shard.
+    supports_node_sharding = False
+
     def __init__(
         self,
         input_state_dimension: int,

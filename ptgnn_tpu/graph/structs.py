@@ -195,6 +195,10 @@ class GraphBatch(NamedTuple):
     # [n_blocks, att_block] int32 node permutation for exact block-diagonal
     # self-attention (padding slots: max_nodes). None when att_block == 0.
     att_order: Any = None
+    # Receiver-aligned node-sharding payload (parallel/node_sharding.py):
+    # when set, node_data/adjacency/node_graph/node_mask are per-shard and
+    # the GNN runs its boundary-exchange stack. None for ordinary batches.
+    node_sharding: Any = None
 
     @property
     def max_nodes(self) -> int:

@@ -35,12 +35,14 @@ def build_graph2class(
     num_minibatches: int = 1,
     minibatch_size: int = 16,
     architecture: str = "mlp",
+    dropout_rate: float = 0.1,
 ) -> Tuple[Graph2Class, Any, Any, List[Dict[str, Any]]]:
     """Returns (model, module, params, minibatches)."""
     import jax
 
     model = create_graph2class_gnn_model(
-        hidden_state_size=hidden_state_size, padding=padding, architecture=architecture
+        hidden_state_size=hidden_state_size, padding=padding,
+        architecture=architecture, dropout_rate=dropout_rate,
     )
 
     def data():

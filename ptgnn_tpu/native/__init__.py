@@ -129,9 +129,14 @@ def assemble_edge_layout(
     agg_rows: int,
     num_types: int,
     align: int = 0,
+    sender_domain: Optional[int] = None,
 ) -> Optional[Tuple[np.ndarray, ...]]:
     """Run the native layout assembly; None if the library is unavailable or
-    the edge budget is exceeded (caller handles both identically)."""
+    the edge budget is exceeded (caller handles both identically).
+
+    ``sender_domain`` bounds sender ids when they index a different space
+    than the receivers (node-sharded boundary layouts index a recv buffer);
+    the C++ copies senders through without using them for the layout."""
     lib = get_assembler()
     if lib is None:
         return None
@@ -145,7 +150,8 @@ def assemble_edge_layout(
         assert int(receivers.min()) >= 0 and int(receivers.max()) < max_nodes, (
             "receiver out of range for the native assembler"
         )
-        assert int(senders.min()) >= 0 and int(senders.max()) < max_nodes, (
+        s_dom = max_nodes if sender_domain is None else sender_domain
+        assert int(senders.min()) >= 0 and int(senders.max()) < s_dom, (
             "sender out of range for the native assembler"
         )
         assert int(types.min()) >= 0 and int(types.max()) < num_types, (

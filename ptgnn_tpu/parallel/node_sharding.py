@@ -1,0 +1,554 @@
+"""Receiver-aligned node-sharded model parallelism — the north-star design.
+
+The reference has no analogue (graphs larger than one device are dropped,
+SURVEY.md §5); ``parallel/edge_sharding.py`` scales edge COMPUTE but
+replicates node state and psums a full [N, D] partial per layer. This module
+shards the nodes themselves:
+
+* shard ``s`` owns node rows ``[s*rows_per, (s+1)*rows_per)`` of the
+  flattened batch AND every edge whose receiver lies in those rows. Because
+  the unified layout is receiver-major, message aggregation is **complete
+  locally** — no cross-shard reduction at all.
+* what crosses chips is only the boundary SENDER features each shard reads:
+  per layer, one ``all_to_all`` of ``[S, b, D]`` gathered rows over ICI —
+  O(boundary * D) exchanged bytes instead of O(N * D).
+* each shard's edges are split into an INTERIOR layout (senders owned
+  locally) and a BOUNDARY layout (senders in the recv buffer), both valid
+  standalone instances of the unified layout with full Pallas aggregation
+  plans. Interior message compute has no data dependency on the collective,
+  so XLA's latency-hiding scheduler overlaps the all_to_all with it.
+
+Per-shard node-array memory is ``N/S + S*b`` rows; a graph whose node arrays
+exceed one chip's budget trains by raising the shard count.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ptgnn_tpu.graph.batching import (
+    assemble_layout_arrays,
+    build_adjacency_struct,
+    required_edge_slots,
+    _seg_counts_of,
+)
+from ptgnn_tpu.graph.structs import AdjacencyStruct, GraphBatch
+
+
+class BoundaryBudgetError(ValueError):
+    """A shard's interior/boundary slots or per-pair boundary-node budget is
+    too small for this batch; the message carries the required sizes."""
+
+
+class NodeShardingData(NamedTuple):
+    """Per-shard sharding payload carried on GraphBatch.node_sharding.
+
+    Pre-``shard_map`` every array has a leading ``[S]`` axis except the
+    ``*_global`` fields (replicated)."""
+
+    adjacency_bnd: AdjacencyStruct  # senders index the [S*b] recv buffer
+    send_idx: Any  # [S, b] int32: local rows this shard sends to each dst
+    node_graph_global: Any  # [N_pad] int32
+    node_mask_global: Any  # [N_pad] bool
+    boundary_counts: Any  # [S] int32: real boundary rows this shard sends per dst
+
+
+class NodeShardCtx(NamedTuple):
+    """Runtime per-layer pieces handed to layers via GraphContext.node_sharding."""
+
+    axis: str
+    rows_per: int
+    adj_int: AdjacencyStruct  # interior layout (with aggregation plan)
+    adj_bnd: AdjacencyStruct  # boundary layout (with aggregation plan)
+    h_local: jax.Array  # [rows_per, D] this layer's input local rows
+    recv: jax.Array  # [S*b, D] boundary sender features (post-exchange)
+    node_graph_global: Any  # [N_pad] int32 (for layers needing global stats)
+    node_mask_global: Any  # [N_pad] bool
+
+
+# ---------------------------------------------------------------------------
+# Host-side resharding of a finalized GraphBatch
+# ---------------------------------------------------------------------------
+def shard_batch_by_nodes(
+    minibatch: Dict[str, Any],
+    num_shards: int,
+    *,
+    boundary_budget: int,
+    interior_slots: int,
+    boundary_slots: int,
+    num_fwd_edge_types: Optional[int] = None,
+    introduce_backwards_edges: bool = False,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Reshard one finalized (host numpy) minibatch receiver-aligned.
+
+    Returns (sharded minibatch, exchange stats). Budgets are static so every
+    batch of a configuration compiles once:
+      * ``interior_slots`` / ``boundary_slots``: padded edge slots per shard;
+      * ``boundary_budget``: boundary sender rows per ordered shard pair.
+    Raises BoundaryBudgetError with the required sizes when exceeded.
+    """
+    batch: GraphBatch = minibatch["batch"]
+    adj = batch.adjacency
+    n_pad = batch.max_nodes
+    S = num_shards
+    assert n_pad % S == 0, (n_pad, S)
+    rows_per = n_pad // S
+    tile = adj.edge_tile
+    # The per-shard layouts are assembled fresh, so they pick their own
+    # aggregation row-block size: the original agg_rows when it divides the
+    # shard, else the largest power-of-two divisor of rows_per below it.
+    r = min(adj.agg_rows, rows_per)
+    while rows_per % r:
+        r //= 2
+    assert r >= 8, (
+        f"rows per shard ({rows_per}) leaves no usable agg_rows "
+        f"(from {adj.agg_rows})"
+    )
+    align = tile
+    if adj.super_tile_row_blocks is not None:
+        align = adj.senders.shape[0] // adj.super_tile_row_blocks.shape[0]
+    num_types = int(adj.edge_types.max()) + 1 if adj.edge_types.size else 1
+    b = boundary_budget
+    assert interior_slots % tile == 0 and boundary_slots % tile == 0
+
+    mask = np.asarray(adj.mask)
+    real = np.nonzero(mask)[0]
+    s_arr = np.asarray(adj.senders)[real]
+    r_arr = np.asarray(adj.receivers)[real]
+    t_arr = np.asarray(adj.edge_types)[real]
+    f_arr = (
+        np.asarray(adj.edge_feature_slot)[real]
+        if adj.edge_feature_slot is not None
+        else np.full(len(real), -1, np.int32)
+    )
+    recv_shard = r_arr // rows_per
+    send_shard = s_arr // rows_per
+
+    # boundary sender lists per ordered (owner -> reader) pair
+    pair_lists: Dict[Tuple[int, int], np.ndarray] = {}
+    int_layouts: List[Tuple[np.ndarray, ...]] = []
+    bnd_layouts: List[Tuple[np.ndarray, ...]] = []
+    max_pair = 0
+    req_int = req_bnd = 0
+    num_blocks_local = rows_per // r
+
+    for s in range(S):
+        mine = recv_shard == s
+        interior = mine & (send_shard == s)
+        boundary = mine & (send_shard != s)
+
+        ri = (r_arr[interior] - s * rows_per).astype(np.int32)
+        si = (s_arr[interior] - s * rows_per).astype(np.int32)
+        ti = t_arr[interior].astype(np.int32)
+        fi = f_arr[interior].astype(np.int32)
+
+        rb = (r_arr[boundary] - s * rows_per).astype(np.int32)
+        sb_global = s_arr[boundary]
+        tb = t_arr[boundary].astype(np.int32)
+        fb = f_arr[boundary].astype(np.int32)
+        owners = send_shard[boundary]
+        # recv-buffer index: owner*b + rank of the sender in the sorted
+        # unique per-pair list (the same list the owner's send_idx is built
+        # from, so both sides agree on slot numbering).
+        sb_local = np.zeros(len(sb_global), np.int32)
+        for o in range(S):
+            if o == s:
+                continue
+            sel = owners == o
+            uniq = np.unique(sb_global[sel])
+            pair_lists[(o, s)] = uniq
+            max_pair = max(max_pair, len(uniq))
+            if len(uniq) > b:
+                continue  # error raised after the full requirement scan
+            sb_local[sel] = o * b + np.searchsorted(uniq, sb_global[sel]).astype(
+                np.int32
+            )
+
+        req_int = max(req_int, required_edge_slots(
+            _seg_counts_of(ri, ti, r, num_types),
+            tile=tile, align=align, num_blocks=num_blocks_local,
+        ))
+        req_bnd = max(req_bnd, required_edge_slots(
+            _seg_counts_of(rb, tb, r, num_types),
+            tile=tile, align=align, num_blocks=num_blocks_local,
+        ))
+
+        int_layouts.append((si, ri, ti, fi))
+        bnd_layouts.append((sb_local, rb, tb, fb))
+
+    if max_pair > b or req_int > interior_slots or req_bnd > boundary_slots:
+        raise BoundaryBudgetError(
+            f"node-sharding budgets too small for this batch: needs "
+            f"boundary_budget>={max_pair} (have {b}), "
+            f"interior_slots>={req_int} (have {interior_slots}), "
+            f"boundary_slots>={req_bnd} (have {boundary_slots})"
+        )
+
+    def assemble(arrays, e_pad, sender_domain):
+        si, ri, ti, fi = arrays
+        out = assemble_layout_arrays(
+            si, ri, ti, fi, max_nodes=rows_per, e_pad=e_pad, tile=tile,
+            agg_rows=r, num_types=num_types, align=align,
+            sender_domain=sender_domain,
+        )
+        assert out is not None, "slot requirement was checked above"
+        return build_adjacency_struct(
+            out, tile=tile, align=align,
+            num_fwd_types=num_fwd_edge_types or num_types,
+            introduce_backwards_edges=introduce_backwards_edges,
+        )
+
+    adj_int = [assemble(a, interior_slots, rows_per) for a in int_layouts]
+    adj_bnd = [assemble(a, boundary_slots, S * b) for a in bnd_layouts]
+
+    send_idx = np.zeros((S, S, b), np.int32)
+    boundary_counts = np.zeros((S, S), np.int32)
+    for (o, d), uniq in pair_lists.items():
+        send_idx[o, d, : len(uniq)] = uniq - o * rows_per
+        boundary_counts[o, d] = len(uniq)
+
+    def stack_adj(adjs: List[AdjacencyStruct]) -> AdjacencyStruct:
+        return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *adjs)
+
+    rows_ext = rows_per + S * b
+    g_pad = batch.max_graphs
+    node_graph = np.asarray(batch.node_graph).reshape(S, rows_per)
+    node_mask = np.asarray(batch.node_mask).reshape(S, rows_per)
+    node_graph_ext = np.concatenate(
+        [node_graph, np.full((S, S * b), g_pad, node_graph.dtype)], axis=1
+    )
+    node_mask_ext = np.concatenate(
+        [node_mask, np.zeros((S, S * b), bool)], axis=1
+    )
+
+    def slice_nodes(x):
+        x = np.asarray(x)
+        assert x.shape[0] == n_pad, (
+            f"node_data array with leading dim {x.shape[0]} != max_nodes "
+            f"{n_pad} cannot be node-sharded"
+        )
+        return x.reshape((S, rows_per) + x.shape[1:])
+
+    sharded_batch = batch._replace(
+        node_data=jax.tree_util.tree_map(slice_nodes, batch.node_data),
+        adjacency=stack_adj(adj_int),
+        node_graph=node_graph_ext,
+        node_mask=node_mask_ext,
+        att_order=None,
+        node_sharding=NodeShardingData(
+            adjacency_bnd=stack_adj(adj_bnd),
+            send_idx=send_idx,
+            node_graph_global=np.asarray(batch.node_graph),
+            node_mask_global=np.asarray(batch.node_mask),
+            boundary_counts=boundary_counts,
+        ),
+    )
+    total_boundary = int(boundary_counts.sum())
+    stats = {
+        "num_shards": S,
+        "rows_per_shard": rows_per,
+        "rows_ext": rows_ext,
+        "boundary_nodes_total": total_boundary,
+        "boundary_budget_used": int(boundary_counts.max()),
+        "boundary_budget": b,
+        # bytes moved per layer per exchange direction at f32; the padded
+        # figure is what the static all_to_all actually ships
+        "exchanged_rows_real": total_boundary,
+        "exchanged_rows_padded": S * (S - 1) * b,
+        "interior_slots_required": req_int,
+        "boundary_slots_required": req_bnd,
+    }
+    return {**minibatch, "batch": sharded_batch}, stats
+
+
+def suggest_budgets(
+    minibatches, num_shards: int, *, tile_of=None
+) -> Dict[str, int]:
+    """Scan finalized minibatches and return the smallest static budgets
+    (rounded up to tile multiples) that fit all of them."""
+    b = e_int = e_bnd = 0
+    tile = None
+    for mb in minibatches:
+        adj = mb["batch"].adjacency
+        tile = adj.edge_tile if tile is None else tile
+        try:
+            shard_batch_by_nodes(
+                mb, num_shards, boundary_budget=1, interior_slots=tile,
+                boundary_slots=tile,
+            )
+        except BoundaryBudgetError as exc:
+            import re
+
+            m = re.search(
+                r"boundary_budget>=(\d+).*interior_slots>=(\d+).*"
+                r"boundary_slots>=(\d+)",
+                str(exc),
+            )
+            assert m is not None
+            b = max(b, int(m.group(1)))
+            e_int = max(e_int, int(m.group(2)))
+            e_bnd = max(e_bnd, int(m.group(3)))
+    tile = tile or 128
+    ceil = lambda n, k: -(-max(n, 1) // k) * k
+    return {
+        "boundary_budget": max(b, 8),
+        "interior_slots": ceil(e_int, tile),
+        "boundary_slots": ceil(e_bnd, tile),
+    }
+
+
+# ---------------------------------------------------------------------------
+# In-trace pieces
+# ---------------------------------------------------------------------------
+def exchange_boundary(h_local: jax.Array, send_idx: jax.Array, axis: str) -> jax.Array:
+    """One boundary-feature exchange: gather the rows each destination needs
+    and all_to_all them over ``axis``. Returns the flattened [S*b, D] recv
+    buffer where rows ``o*b..o*b+b`` came from shard ``o``."""
+    S, b = send_idx.shape
+    buf = jnp.take(h_local, send_idx.reshape(-1), axis=0).reshape(
+        S, b, h_local.shape[-1]
+    )
+    recv = jax.lax.all_to_all(buf, axis, split_axis=0, concat_axis=0, tiled=True)
+    return recv.reshape(S * b, h_local.shape[-1])
+
+
+def merged_adjacency(adj_int: AdjacencyStruct, adj_bnd: AdjacencyStruct, rows_per: int) -> AdjacencyStruct:
+    """One plan-less adjacency over the [h_local ++ recv] buffer for generic
+    layers (multi-hidden-layer MLPs, PNA, edge features): interior senders
+    keep their local ids, boundary senders shift past ``rows_per``. The
+    aggregation plans do not concatenate (their block runs would interleave),
+    so generic layers aggregate through the XLA segment ops."""
+
+    def cat(a, b_):
+        return jnp.concatenate([a, b_], axis=0)
+
+    return AdjacencyStruct(
+        senders=cat(adj_int.senders, adj_bnd.senders + rows_per),
+        receivers=cat(adj_int.receivers, adj_bnd.receivers),
+        edge_types=cat(adj_int.edge_types, adj_bnd.edge_types),
+        tile_types=cat(adj_int.tile_types, adj_bnd.tile_types),
+        mask=cat(adj_int.mask, adj_bnd.mask),
+        edge_feature_slot=(
+            None
+            if adj_int.edge_feature_slot is None
+            else cat(adj_int.edge_feature_slot, adj_bnd.edge_feature_slot)
+        ),
+    )
+
+
+def _sub_reduce(messages, adj: AdjacencyStruct, rows_per: int, reduction: str,
+                mask, counts_exact: bool):
+    """Plan (Pallas) or XLA segment reduce of one sub-layout to local rows."""
+    from ptgnn_tpu.graph.messagepassing.base import _use_pallas_aggregation
+    from ptgnn_tpu.ops.segment import segment_reduce
+
+    if adj.has_aggregation_plan and _use_pallas_aggregation():
+        from ptgnn_tpu.ops.pallas.segment_kernels import adjacency_segment_reduce
+
+        return adjacency_segment_reduce(
+            messages, adj, rows_per, reduction, mask=mask,
+            counts_exact=counts_exact,
+        )
+    return segment_reduce(messages, adj.receivers, rows_per, reduction, mask=mask)
+
+
+def node_sharded_linear_message_aggregation(
+    weight_stack,
+    ctx,
+    *,
+    reduction: str,
+    use_target_state: bool,
+    dropout_rate: float,
+    train: bool,
+    rng,
+):
+    """Single-linear message + aggregation under node sharding — the hot
+    path. Interior and boundary edges run as two separate gather -> typed
+    matmul -> planned segment reduce passes; the interior pass has no data
+    dependency on the all_to_all, so the collective overlaps it. Returns the
+    combined aggregate padded to the caller's extended row count."""
+    from ptgnn_tpu.nn.layers import dropout as apply_dropout
+    from ptgnn_tpu.nn.module import fold
+    from ptgnn_tpu.ops.segment import segment_count
+    from ptgnn_tpu.ops.typed_linear import typed_tile_matmul
+
+    ns: NodeShardCtx = ctx.node_sharding
+    rows_per = ns.rows_per
+    h_local, recv = ns.h_local, ns.recv
+    exact = ctx.edge_mask_is_static
+
+    def one_side(adj, source, rng_k, sum_reduction):
+        x = jnp.take(source, adj.senders, axis=0)
+        if use_target_state:
+            safe_recv = jnp.minimum(adj.receivers, rows_per - 1)
+            x = jnp.concatenate([x, jnp.take(h_local, safe_recv, axis=0)], axis=-1)
+        x = apply_dropout(rng_k, x, dropout_rate, train)
+        msgs = typed_tile_matmul(x, weight_stack, adj.tile_types, adj.edge_tile)
+        agg = _sub_reduce(msgs, adj, rows_per, sum_reduction, adj.mask, exact)
+        if exact:
+            cnt = jnp.reshape(adj.agg_counts, (-1,))[:rows_per]
+        else:
+            cnt = segment_count(adj.receivers, rows_per, adj.mask)
+        return agg, cnt
+
+    base_reduction = "sum" if reduction in ("sum", "add", "mean") else reduction
+    a_int, c_int = one_side(ns.adj_int, h_local, fold(rng, 1), base_reduction)
+    a_bnd, c_bnd = one_side(ns.adj_bnd, recv, fold(rng, 2), base_reduction)
+
+    if reduction in ("sum", "add"):
+        total = a_int + a_bnd
+    elif reduction == "mean":
+        cnt = (c_int + c_bnd).astype(a_int.dtype)
+        total = (a_int + a_bnd) / jnp.maximum(cnt, 1)[:, None]
+    else:  # max / min: empty sub-segments were filled with 0 — pick by counts
+        pick = jnp.maximum if reduction == "max" else jnp.minimum
+        both = pick(a_int, a_bnd)
+        total = jnp.where(
+            (c_int[:, None] > 0) & (c_bnd[:, None] > 0),
+            both,
+            jnp.where(
+                c_int[:, None] > 0,
+                a_int,
+                jnp.where(c_bnd[:, None] > 0, a_bnd, jnp.zeros((), a_int.dtype)),
+            ),
+        )
+    # Pad to the caller's extended buffer length (local rows ++ recv tail):
+    # layer update functions run rowwise over node_states, whose tail is
+    # sliced off by the sharded stack loop after the layer.
+    tail = ctx.node_mask.shape[0] - rows_per
+    return jnp.concatenate(
+        [total, jnp.zeros((tail, total.shape[-1]), total.dtype)], axis=0
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train-step builder
+# ---------------------------------------------------------------------------
+class NodeParallel:
+    """Train-step builder partitioning one batch's NODES (and their incoming
+    edges) across a mesh axis. Parameters and the task head stay replicated;
+    per layer each shard exchanges only boundary sender features. See the
+    module docstring for the design."""
+
+    def __init__(
+        self,
+        module,
+        optimizer,
+        mesh,
+        *,
+        axis: str = "node",
+        enable_amp: bool = False,
+        boundary_budget: int,
+        interior_slots: int,
+        boundary_slots: int,
+    ):
+        self.module = module
+        self.optimizer = optimizer
+        self.mesh = mesh
+        self.axis = axis
+        self.enable_amp = enable_amp
+        self.num_shards = mesh.shape[axis]
+        self.boundary_budget = boundary_budget
+        self.interior_slots = interior_slots
+        self.boundary_slots = boundary_slots
+        gnn = getattr(module, "gnn", None) or getattr(module, "_gnn", None)
+        assert gnn is not None, "NodeParallel needs a module exposing .gnn"
+        gnn.node_partition_axis = axis
+        self._gnn = gnn
+
+    def shard_batch(self, minibatch: Dict[str, Any]) -> Dict[str, Any]:
+        sharded, self.last_stats = shard_batch_by_nodes(
+            minibatch,
+            self.num_shards,
+            boundary_budget=self.boundary_budget,
+            interior_slots=self.interior_slots,
+            boundary_slots=self.boundary_slots,
+        )
+        return sharded
+
+    def _specs(self, example_sharded_mb):
+        from jax.sharding import PartitionSpec as P
+
+        def spec_tree(mb):
+            rest = jax.tree_util.tree_map(lambda x: P(), mb)
+            batch = mb["batch"]
+            shard = lambda t: jax.tree_util.tree_map(lambda x: P(self.axis), t)
+            ns_spec = rest["batch"].node_sharding._replace(
+                adjacency_bnd=shard(batch.node_sharding.adjacency_bnd),
+                send_idx=P(self.axis),
+                boundary_counts=P(self.axis),
+            )
+            rest["batch"] = rest["batch"]._replace(
+                node_data=shard(batch.node_data),
+                adjacency=shard(batch.adjacency),
+                node_graph=P(self.axis),
+                node_mask=P(self.axis),
+                node_sharding=ns_spec,
+            )
+            return rest
+
+        return spec_tree(example_sharded_mb)
+
+    def build_train_step(self, example_sharded_mb):
+        from jax.sharding import PartitionSpec as P
+
+        import optax
+
+        from ptgnn_tpu.parallel.dp import _shard_map
+
+        module = self.module
+        optimizer = self.optimizer
+
+        def _cast(tree, dtype):
+            return jax.tree_util.tree_map(
+                lambda x: x.astype(dtype)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                tree,
+            )
+
+        def per_shard_loss(params, sharded_mb, rng):
+            def delead(t):
+                return jax.tree_util.tree_map(
+                    lambda x: None if x is None else x[0], t
+                )
+
+            batch = sharded_mb["batch"]
+            ns = batch.node_sharding
+            batch = batch._replace(
+                node_data=delead(batch.node_data),
+                adjacency=delead(batch.adjacency),
+                node_graph=batch.node_graph[0],
+                node_mask=batch.node_mask[0],
+                node_sharding=ns._replace(
+                    adjacency_bnd=delead(ns.adjacency_bnd),
+                    send_idx=ns.send_idx[0],
+                    boundary_counts=ns.boundary_counts[0],
+                ),
+            )
+            mb = {**sharded_mb, "batch": batch}
+            if self.enable_amp:
+                params = _cast(params, jnp.bfloat16)
+                mb = _cast(mb, jnp.bfloat16)
+            loss, metrics = module.apply(params, **mb, train=True, rng=rng)
+            return loss.astype(jnp.float32), metrics
+
+        in_specs = (P(), self._specs(example_sharded_mb), P())
+        sharded_loss = _shard_map(
+            per_shard_loss, mesh=self.mesh, in_specs=in_specs,
+            out_specs=(P(), P()),
+        )
+
+        def train_step(params, opt_state, sharded_mb, rng):
+            (loss, metrics), grads = jax.value_and_grad(
+                lambda p: sharded_loss(p, sharded_mb, rng), has_aux=True
+            )(params)
+            grads = _cast(grads, jnp.float32)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, metrics
+
+        return jax.jit(train_step, donate_argnums=(0, 1))
