@@ -285,3 +285,71 @@ def test_single_graph_larger_than_one_shard_trains():
         losses.append(float(loss))
     module.gnn.node_partition_axis = None
     assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_interior_compute_independent_of_exchange(monkeypatch):
+    """(c) of the north-star: interior aggregation must have NO data
+    dependency on the boundary all_to_all — that independence is what lets
+    the TPU scheduler overlap the collective with interior compute. Proof:
+    poison the exchange with NaNs while masking every boundary edge off; the
+    loss must stay finite and equal the interior-only result (NaNs reach the
+    output through ANY arithmetic use, so the interior path provably never
+    touches the recv buffer)."""
+    import optax
+
+    from ptgnn_tpu.parallel import node_sharding as nsmod
+    from ptgnn_tpu.parallel.node_sharding import NodeParallel
+
+    model, module, params, mbs = _build_g2c()
+    budgets = suggest_budgets([mbs[0]], 4)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("node",))
+    opt = optax.sgd(0.0)
+    npar = NodeParallel(module, opt, mesh, axis="node", **budgets)
+    smb = npar.shard_batch(mbs[0])
+
+    # mask off every boundary edge so only interior terms reach the loss
+    sb = smb["batch"]
+    ns = sb.node_sharding
+    bnd_masked = ns.adjacency_bnd._replace(
+        mask=np.zeros_like(np.asarray(ns.adjacency_bnd.mask)),
+        agg_counts=np.zeros_like(np.asarray(ns.adjacency_bnd.agg_counts)),
+    )
+    smb_int = {**smb, "batch": sb._replace(
+        node_sharding=ns._replace(adjacency_bnd=bnd_masked))}
+
+    step = npar.build_train_step(smb)
+    _, _, loss_clean, _ = step(
+        jax.tree_util.tree_map(jnp.copy, params), opt.init(params), smb_int,
+        jax.random.PRNGKey(0),
+    )
+
+    real_exchange = nsmod.exchange_boundary
+
+    def poisoned(h_local, send_idx, axis):
+        return real_exchange(h_local, send_idx, axis) * jnp.nan
+
+    monkeypatch.setattr(nsmod, "exchange_boundary", poisoned)
+
+    step2 = npar.build_train_step(smb)
+    _, _, loss_poisoned, _ = step2(
+        jax.tree_util.tree_map(jnp.copy, params), opt.init(params), smb_int,
+        jax.random.PRNGKey(0),
+    )
+    # control: with boundary edges ACTIVE the poison must reach the loss —
+    # NaN recv propagates through the (unmasked) boundary aggregation
+    step3 = npar.build_train_step(smb)
+    _, _, loss_control, _ = step3(
+        jax.tree_util.tree_map(jnp.copy, params), opt.init(params), smb,
+        jax.random.PRNGKey(0),
+    )
+    module.gnn.node_partition_axis = None
+
+    assert not np.isfinite(float(loss_control)), (
+        "control failed: poisoned exchange did not reach the loss through "
+        "active boundary edges — the poison mechanism is broken"
+    )
+    assert np.isfinite(float(loss_poisoned)), (
+        "NaN recv leaked into the interior-only loss: interior compute "
+        "depends on the exchange"
+    )
+    np.testing.assert_allclose(float(loss_poisoned), float(loss_clean), rtol=1e-6)

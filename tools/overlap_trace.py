@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Inspect how the node-sharded train step schedules the boundary all_to_all.
+
+The north-star design (parallel/node_sharding.py) splits each shard's edges
+into interior and boundary layouts so interior message compute has no data
+dependency on the collective. This tool compiles the step and reports, from
+the optimized HLO:
+
+* on TPU: the async pair (``all-to-all-start`` / ``all-to-all-done``) and how
+  many fusions/convolutions/dots the latency-hiding scheduler placed between
+  them — compute overlapped with the exchange;
+* on CPU (sync collectives): that the all-to-all exists and how many dot/
+  fusion ops are scheduled between the collective and the first use of its
+  result (dataflow slack the TPU scheduler can exploit).
+
+Run on the CPU mesh:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+      python tools/overlap_trace.py
+Run on TPU (multi-chip hardware): python tools/overlap_trace.py
+"""
+from __future__ import annotations
+
+import os
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def main() -> None:
+    import jax
+    import numpy as np
+    import optax
+    from jax.sharding import Mesh
+
+    from ptgnn_tpu.implementations.typilus.harness import build_graph2class, small_padding
+    from ptgnn_tpu.parallel.node_sharding import NodeParallel, suggest_budgets
+
+    n = min(4, len(jax.devices()))
+    _, module, params, mbs = build_graph2class(
+        padding=small_padding(max_nodes=512, max_graphs=8),
+        num_metadata_graphs=16, mean_nodes=100, max_graph_nodes=200,
+        hidden_state_size=64, num_minibatches=1, minibatch_size=8,
+        dropout_rate=0.0,
+    )
+    budgets = suggest_budgets(mbs, n)
+    mesh = Mesh(np.asarray(jax.devices()[:n]), ("node",))
+    opt = optax.adam(1e-3)
+    npar = NodeParallel(module, opt, mesh, axis="node", **budgets)
+    smb = npar.shard_batch(mbs[0])
+    print(f"exchange stats: {npar.last_stats}")
+
+    step = npar.build_train_step(smb)
+    lowered = step.lower(params, opt.init(params), smb, jax.random.PRNGKey(0))
+    compiled = lowered.compile()
+    hlo = compiled.as_text()
+    module.gnn.node_partition_axis = None
+
+    lines = hlo.splitlines()
+    starts = [i for i, l in enumerate(lines) if "all-to-all-start" in l]
+    dones = [i for i, l in enumerate(lines) if "all-to-all-done" in l]
+    syncs = [
+        i for i, l in enumerate(lines)
+        if re.search(r"= \S+ all-to-all\(", l) and "start" not in l
+    ]
+    compute_re = re.compile(r"= \S+ (fusion|dot|convolution)\(")
+
+    out_path = Path("logs") / "overlap_hlo.txt"
+    out_path.parent.mkdir(exist_ok=True)
+    out_path.write_text(hlo)
+    print(f"optimized HLO written to {out_path} ({len(lines)} lines)")
+
+    if starts and dones:
+        total = 0
+        for s in starts:
+            d = min((x for x in dones if x > s), default=s)
+            between = sum(1 for i in range(s + 1, d) if compute_re.search(lines[i]))
+            total += between
+            print(
+                f"async all-to-all at line {s}: {between} compute ops "
+                f"scheduled before its done at line {d}"
+            )
+        print(
+            f"OVERLAP: {len(starts)} async exchanges, {total} compute ops "
+            "hidden behind them in the schedule"
+        )
+    elif syncs:
+        print(
+            f"{len(syncs)} synchronous all-to-all ops (this backend has no "
+            "async collectives); run on TPU for the overlapped schedule"
+        )
+    else:
+        meta = [i for i, l in enumerate(lines) if "all_to_all" in l]
+        if meta:
+            print(
+                f"collectives lowered to local data movement ({len(meta)} ops "
+                "tagged all_to_all in metadata) — this backend runs the mesh "
+                "in one process, so there is no communication to overlap. "
+                "The dataflow independence that enables overlap on TPU is "
+                "asserted by tests/test_node_sharding.py::"
+                "test_interior_compute_independent_of_exchange; run this tool "
+                "on multi-chip TPU for the scheduled async pair."
+            )
+        else:
+            print("no all-to-all found — did the sharded path run?")
+
+
+if __name__ == "__main__":
+    main()
