@@ -122,7 +122,7 @@ class Linear(Module):
             x,
             w,
             dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
         ).astype(x.dtype)
         if self.use_bias:
             y = y + params["bias"].astype(y.dtype)
@@ -210,14 +210,14 @@ class GRUCell(Module):
         gi = (
             jax.lax.dot_general(
                 x, params["weight_ih"], (((x.ndim - 1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
             ).astype(x.dtype)
             + params["bias_ih"]
         )
         gh = (
             jax.lax.dot_general(
                 h, params["weight_hh"], (((h.ndim - 1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
             ).astype(h.dtype)
             + params["bias_hh"]
         )

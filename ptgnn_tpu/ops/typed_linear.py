@@ -35,7 +35,9 @@ def typed_tile_matmul(
         xt,
         wt.astype(x.dtype),
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+        # f32 accumulation for low-precision inputs; keep f64 when the caller
+        # computes in f64 (the fp64 reference-parity suites).
+        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
     )
     return y.reshape(e, m).astype(x.dtype)
 
