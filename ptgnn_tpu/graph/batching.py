@@ -373,7 +373,12 @@ class GraphBatcher:
         edge's index, self edges get -1; reference:
         graphneuralnetwork.py:172-183). ``with_features=False`` marks every
         edge -1 — used for graphs WITHOUT edge features so their edges never
-        alias another graph's feature rows."""
+        alias another graph's feature rows.
+
+        In batches that track no features at all the indices double as pure
+        fwd/bwd PAIR ids (consumed by ops/fused_mp.py's argmax routing),
+        numbered by the same cursor; nothing ever gathers feature rows with
+        them."""
         senders: List[np.ndarray] = []
         receivers: List[np.ndarray] = []
         types: List[np.ndarray] = []
@@ -470,8 +475,11 @@ class GraphBatcher:
         # (gnn.py extends edge_data_mb ONLY for graphs carrying features):
         # a featureless graph in a feature-tracking batch gets -1 slots and
         # does NOT advance the cursor, otherwise every later graph's edges
-        # would gather ANOTHER graph's feature rows.
+        # would gather ANOTHER graph's feature rows. Fully featureless
+        # batches still number the slots (unique fwd/bwd pair ids for the
+        # fused argmax routing) — no feature data exists to alias.
         has_features = self.track_edge_features and graph.edge_features is not None
+        number_slots = has_features or not self.track_edge_features
         if has_features:
             assert len(graph.edge_features) == graph.num_edges, (
                 f"graph has {graph.num_edges} forward edges but "
@@ -480,13 +488,13 @@ class GraphBatcher:
                 "in canonical type order"
             )
         senders, receivers, types, feat_idx = self._graph_edge_arrays(
-            graph, offset, mb["num_features_in_mb"], with_features=has_features
+            graph, offset, mb["num_features_in_mb"], with_features=number_slots
         )
         mb["senders"].append(senders)
         mb["receivers"].append(receivers)
         mb["types"].append(types)
         mb["feature_idx"].append(feat_idx)
-        if has_features:
+        if number_slots:
             mb["num_features_in_mb"] += graph.num_edges
         for key, c in self._merged_seg_counts(graph, offset).items():
             mb["seg_counts"][key] = mb["seg_counts"].get(key, 0) + c

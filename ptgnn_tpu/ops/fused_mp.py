@@ -165,7 +165,16 @@ def _fused_fwd_impl(
         node_states, weight_stack, (adj.senders, adj.receivers),
         use_target_state=use_target_state, drop_mask=drop, tile_types=adj.tile_types,
     )
-    if reduction in ("max", "min") and _use_argmax_routing():
+    # Argmax routing needs fwd/bwd PAIR ids to resolve each winner's
+    # transpose slot; edge_feature_slot carries them (the batcher numbers
+    # slots even for featureless batches). Without them (legacy batches,
+    # or featureless graphs mixed into a feature-tracking batch, whose -1
+    # slots would all "match" each other) fall back to tie-splitting.
+    if (
+        reduction in ("max", "min")
+        and _use_argmax_routing()
+        and adj.edge_feature_slot is not None
+    ):
         is_max = reduction == "max"
         neutral = -_BIG if is_max else _BIG
         work = jnp.where(mask_cols(adj.mask, msgs), msgs,

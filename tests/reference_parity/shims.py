@@ -142,10 +142,11 @@ def scatter_logsumexp(src, index, dim=-1, out=None, dim_size=None, eps=1e-12):
         raise ValueError("logsumexp requires floating point input")
     bindex = _broadcast(index, src, dim)
     size, d = _out_size(src, bindex, dim, dim_size)
+    # out-of-place max with -inf base: the in-place provided-`out` path of
+    # scatter_max breaks torch autograd (copy_ bumps the tensor version)
     max_value_per_index = torch.full(
         size, float("-inf"), dtype=src.dtype, device=src.device
-    )
-    scatter_max(src, index, d, max_value_per_index, size[d])
+    ).scatter_reduce(d, bindex, src, "amax", include_self=True)
     max_per_src = max_value_per_index.gather(d, bindex)
     recentered = src - max_per_src
     # all--inf segments: -inf - -inf = nan -> treat as -inf (exp 0)
