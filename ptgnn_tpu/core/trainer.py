@@ -199,7 +199,11 @@ class ModelTrainer:
     def load_metadata_and_create_network(
         self, training_data: Iterable, parallelize: bool = True, show_progress_bar: bool = False
     ) -> None:
-        self._model.compute_metadata(iter(training_data), parallelize)
+        # Models arriving pre-initialized (e.g. retuned by
+        # utils/autotune.autotune_task_model, which computes metadata for its
+        # measurement pass) skip the second data scan.
+        if not self._model.metadata_initialized:
+            self._model.compute_metadata(iter(training_data), parallelize)
         self._neural_module = self._model.build_neural_module()
         self._params = self._neural_module.init(jax.random.PRNGKey(self._seed))
         num_params = sum(

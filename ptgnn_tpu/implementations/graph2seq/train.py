@@ -25,7 +25,7 @@ from ptgnn_tpu.utils.amlutils import configure_logging
 from ptgnn_tpu.utils.io import iter_jsonl
 
 
-def g2s_padding(max_nodes: int = 32768, max_graphs: int = 64) -> BatchPadding:
+def g2s_padding(max_nodes: int = 16384, max_graphs: int = 64) -> BatchPadding:
     return BatchPadding(
         max_nodes=max_nodes,
         max_edge_slots=max_nodes * 8,
@@ -105,9 +105,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--gradient-accumulation", type=int, default=1,
                         help="apply the mean gradient of every k minibatches in one optimizer step")
     parser.add_argument("--restore-path", type=Path, default=None)
+    parser.add_argument("--autotune", action="store_true",
+                        help="measure candidate batch paddings on this "
+                             "dataset before training and pick the fastest")
     parser.add_argument("--sequential-run", action="store_true")
     parser.add_argument("--quiet", action="store_true")
-    parser.add_argument("--max-nodes", type=int, default=32768)
+    parser.add_argument("--max-nodes", type=int, default=16384)
     return parser
 
 
@@ -126,6 +129,21 @@ def run(args: argparse.Namespace) -> ModelTrainer:
     else:
         model = create_graph2seq_model(padding=g2s_padding(args.max_nodes))
         params = None
+        if args.autotune:
+            from ptgnn_tpu.utils.autotune import autotune_task_model, default_candidates
+
+            model, _ = autotune_task_model(
+                model,
+                training_data,
+                minibatch_size=args.minibatch_size,
+                candidates=default_candidates(
+                    max_nodes_options=(8192, 16384),
+                    slots_per_node_options=(6.0, 8.0),
+                    reference_budgets_fn=lambda mn: (("backbone_nodes", mn),),
+                ),
+                amp=args.amp,
+                parallelize=not args.sequential_run,
+            )
 
     trainer = ModelTrainer(
         model,

@@ -30,7 +30,7 @@ def ppi_padding(max_nodes: int = 4096) -> BatchPadding:
     graphs. PPI is dense: ~28 edges/node posting fwd+bwd+self."""
     return BatchPadding(
         max_nodes=max_nodes,
-        max_edge_slots=max_nodes * 40,
+        max_edge_slots=max_nodes * 30,
         max_graphs=8,
         edge_tile=128,
     )
@@ -89,6 +89,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--max-num-epochs", type=int, default=100)
     parser.add_argument("--minibatch-size", type=int, default=50)
     parser.add_argument("--restore-path", type=Path, default=None)
+    parser.add_argument("--autotune", action="store_true",
+                        help="measure candidate batch paddings on this "
+                             "dataset before training and pick the fastest")
     parser.add_argument("--sequential-run", action="store_true")
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--max-nodes", type=int, default=4096)
@@ -112,6 +115,22 @@ def run(args: argparse.Namespace) -> None:
     else:
         model = create_ppi_gnn_model(padding=ppi_padding(args.max_nodes))
         params = None
+        if args.autotune:
+            from ptgnn_tpu.utils.autotune import autotune_task_model, default_candidates
+
+            model, _ = autotune_task_model(
+                model,
+                training_data,
+                minibatch_size=args.minibatch_size,
+                # PPI is dense (~28 materialized edges/node): its candidate
+                # grid needs fatter slot budgets than the code-graph tasks
+                candidates=default_candidates(
+                    max_nodes_options=(2048, 4096, 8192),
+                    slots_per_node_options=(24.0, 30.0, 36.0),
+                ),
+                amp=args.amp,
+                parallelize=not args.sequential_run,
+            )
 
     trainer = ModelTrainer(
         model,

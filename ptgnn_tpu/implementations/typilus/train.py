@@ -35,23 +35,32 @@ from ptgnn_tpu.utils.amlutils import configure_logging, log_run
 from ptgnn_tpu.utils.io import load_from_folder
 
 
-def default_padding(max_nodes: int = 131072, max_graphs: int = 256) -> BatchPadding:
-    """Static batch budgets sized for the reference's typilus config
-    (stop at 120k nodes/batch, typilus/train.py:112-116): ~5.4 fwd edges/node
-    in the published dataset, x2 for backwards edges, tile slack.
-
-    NOTE: throughput is strongly occupancy-sensitive — irregular-op cost
-    scales with padded slots, not real edges (BASELINE.md). Size
-    max_edge_slots as tightly as your data's edge density allows."""
+def default_padding(
+    max_nodes: int = 8192,
+    max_graphs: Optional[int] = None,
+    edge_slots_per_node: float = 6.0,
+) -> BatchPadding:
+    """Static batch budgets: the TUNED headline configuration from the v5e
+    occupancy sweep (BASELINE.md) — 8k-node batches at 6 edge slots/node beat
+    the reference-shaped 120k-node batches ~2x per edge, because on TPU the
+    irregular-op cost follows PADDED slots, not real edges. Graphs larger
+    than ``max_nodes`` are dropped (the reference drops above its own
+    max_nodes_per_graph, typilus/train.py:112-116); raise ``--max-nodes``
+    for datasets with bigger graphs, or pass ``--autotune`` to re-measure on
+    your own data."""
     return BatchPadding(
         max_nodes=max_nodes,
-        max_edge_slots=max_nodes * 14,
-        max_graphs=max_graphs,
+        max_edge_slots=int(max_nodes * edge_slots_per_node) // 128 * 128,
+        max_graphs=max_graphs if max_graphs is not None else max(8, max_nodes // 1024),
         edge_tile=128,
-        reference_budgets=(
-            ("supernodes", max(1024, max_nodes // 8)),
-            ("token-sequence", max_nodes),
-        ),
+        reference_budgets=typilus_reference_budgets(max_nodes),
+    )
+
+
+def typilus_reference_budgets(max_nodes: int) -> tuple:
+    return (
+        ("supernodes", max(512, max_nodes // 16)),
+        ("token-sequence", max_nodes),
     )
 
 
@@ -164,9 +173,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--sequential-run", action="store_true")
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--aml", action="store_true")
-    parser.add_argument("--max-nodes", type=int, default=131072,
-                        help="static per-batch node budget")
+    parser.add_argument("--max-nodes", type=int, default=8192,
+                        help="static per-batch node budget (graphs larger "
+                             "than this are dropped)")
     parser.add_argument("--architecture", choices=["mlp", "ggnn"], default="mlp")
+    parser.add_argument("--autotune", action="store_true",
+                        help="measure candidate batch paddings on this "
+                             "dataset before training and pick the fastest")
     return parser
 
 
@@ -196,6 +209,19 @@ def run(args: argparse.Namespace) -> None:
             padding=default_padding(max_nodes=args.max_nodes),
             architecture=args.architecture,
         )
+        if args.autotune:
+            from ptgnn_tpu.utils.autotune import autotune_task_model
+
+            model, _ = autotune_task_model(
+                model,
+                training_data,
+                minibatch_size=args.minibatch_size,
+                reference_budgets_fn=typilus_reference_budgets,
+                amp=args.amp,
+                parallelize=not args.sequential_run,
+            )
+            # the retuned clone carries its metadata; the trainer detects
+            # that and skips the second scan
 
     trainer = ModelTrainer(
         model,

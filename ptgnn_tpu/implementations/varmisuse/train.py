@@ -34,16 +34,24 @@ from ptgnn_tpu.utils.amlutils import configure_logging
 from ptgnn_tpu.utils.io import load_from_folder
 
 
-def vm_padding(max_nodes: int = 65536, max_graphs: int = 64) -> BatchPadding:
+def vm_padding(max_nodes: int = 8192, max_graphs: int = 64) -> BatchPadding:
+    """Tuned default: like Graph2Class, VarMisuse throughput follows padded
+    occupancy (BASELINE.md); 8k-node batches at 8 slots/node replace the
+    reference-shaped 64k x 14 budgets. Raise --max-nodes for datasets with
+    larger graphs, or pass --autotune."""
     return BatchPadding(
         max_nodes=max_nodes,
-        max_edge_slots=max_nodes * 14,
+        max_edge_slots=max_nodes * 8,
         max_graphs=max_graphs,
         edge_tile=128,
-        reference_budgets=(
-            ("candidate_nodes", max(512, max_graphs * 16)),
-            ("slot_node_idx", max_graphs),
-        ),
+        reference_budgets=vm_reference_budgets(max_nodes, max_graphs),
+    )
+
+
+def vm_reference_budgets(max_nodes: int, max_graphs: int = 64) -> tuple:
+    return (
+        ("candidate_nodes", max(512, max_graphs * 16)),
+        ("slot_node_idx", max_graphs),
     )
 
 
@@ -157,8 +165,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--restore-path", type=Path, default=None)
     parser.add_argument("--sequential-run", action="store_true")
     parser.add_argument("--quiet", action="store_true")
-    parser.add_argument("--max-nodes", type=int, default=65536)
+    parser.add_argument("--max-nodes", type=int, default=8192)
     parser.add_argument("--architecture", choices=["mlp", "ggnn"], default="mlp")
+    parser.add_argument("--autotune", action="store_true",
+                        help="measure candidate batch paddings on this "
+                             "dataset before training and pick the fastest")
     return parser
 
 
@@ -183,6 +194,17 @@ def run(args: argparse.Namespace) -> None:
             padding=vm_padding(args.max_nodes), architecture=args.architecture
         )
         params = None
+        if args.autotune:
+            from ptgnn_tpu.utils.autotune import autotune_task_model
+
+            model, _ = autotune_task_model(
+                model,
+                training_data,
+                minibatch_size=args.minibatch_size,
+                reference_budgets_fn=vm_reference_budgets,
+                amp=args.amp,
+                parallelize=not args.sequential_run,
+            )
 
     trainer = ModelTrainer(
         model,

@@ -171,3 +171,94 @@ def _tag(p: BatchPadding) -> str:
         f"nodes={p.max_nodes} slots={p.max_edge_slots} tile={p.edge_tile} "
         f"rows={p.agg_rows}"
     )
+
+
+def clone_with_padding(model, padding: BatchPadding):
+    """Deep-copy a (metadata-initialized) task model with every embedded
+    GraphNeuralNetworkModel re-budgeted to ``padding``. Metadata
+    (vocabularies, edge-type registries) is padding-independent, so the
+    clone tensorizes/minibatches at the new shapes without a second data
+    pass."""
+    import copy
+
+    from ptgnn_tpu.graph.gnn import GraphNeuralNetworkModel
+
+    clone = copy.deepcopy(model)
+    seen = set()
+
+    def walk(obj):
+        if id(obj) in seen or not hasattr(obj, "__dict__"):
+            return
+        seen.add(id(obj))
+        if isinstance(obj, GraphNeuralNetworkModel):
+            obj.padding = padding
+            obj.max_nodes_per_graph = min(obj.max_nodes_per_graph, padding.max_nodes)
+            obj.stop_extending_minibatch_after_num_nodes = min(
+                obj.stop_extending_minibatch_after_num_nodes, padding.max_nodes
+            )
+        for v in obj.__dict__.values():
+            walk(v)
+
+    walk(clone)
+    return clone
+
+
+def autotune_task_model(
+    model,
+    training_data,
+    *,
+    minibatch_size: int,
+    candidates: Optional[Sequence[BatchPadding]] = None,
+    reference_budgets_fn: Optional[Callable[[int], tuple]] = None,
+    sample_limit: int = 64,
+    steps: int = 20,
+    amp: bool = True,
+    parallelize: bool = True,
+):
+    """Measure candidate paddings on the task's OWN data and return
+    (retuned model clone, sorted TuneResults).
+
+    Computes metadata once (if needed), tensorizes up to ``sample_limit``
+    training samples, then for each candidate re-budgets a clone, builds one
+    real minibatch, and measures jitted train-step throughput. Wire into the
+    train CLIs via ``--autotune``.
+    """
+    import itertools
+
+    import jax
+
+    if not model.metadata_initialized:
+        model.compute_metadata(iter(training_data), parallelize=parallelize)
+    tensorized = [
+        t
+        for t, _ in model.tensorize_dataset(
+            itertools.islice(iter(training_data), sample_limit),
+            parallelize=parallelize,
+        )
+    ]
+    assert tensorized, "autotune: no training samples survived tensorization"
+    if candidates is None:
+        candidates = default_candidates(reference_budgets_fn=reference_budgets_fn)
+
+    def build(padding: BatchPadding):
+        m = clone_with_padding(model, padding)
+        module = m.build_neural_module()
+        params = module.init(jax.random.PRNGKey(0))
+        mbs = []
+        for mb, _ in m.minibatch_iterator(
+            ((t, None) for t in tensorized),
+            max_minibatch_size=minibatch_size,
+            parallelize=False,
+        ):
+            mbs.append(mb)
+            break
+        return module, params, mbs
+
+    results = sweep_paddings(build, candidates, steps=steps, amp=amp)
+    best = results[0]
+    assert best.error is None, f"autotune: every candidate failed: {results}"
+    LOGGER.info(
+        "autotune: selected %s (%.0fk edges/s)",
+        _tag(best.padding), best.edges_per_sec / 1e3,
+    )
+    return clone_with_padding(model, best.padding), results

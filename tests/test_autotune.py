@@ -66,3 +66,59 @@ def test_default_candidates_grid():
     for c in cands:
         assert c.max_edge_slots % c.edge_tile == 0
         assert c.max_edge_slots >= 5 * c.max_nodes - c.edge_tile
+
+
+def test_autotune_task_model_retunes_and_keeps_metadata():
+    """--autotune path: metadata computed once, candidates measured on real
+    minibatches, returned clone carries the winning padding + metadata."""
+    import jax
+
+    from ptgnn_tpu.graph.structs import BatchPadding
+    from ptgnn_tpu.implementations.typilus.train import (
+        create_graph2class_gnn_model,
+        typilus_reference_budgets,
+    )
+    from ptgnn_tpu.utils.autotune import autotune_task_model, clone_with_padding
+    from ptgnn_tpu.utils.synthetic import synthetic_typilus_graphs
+
+    graphs = list(synthetic_typilus_graphs(8, seed=0, mean_nodes=25, max_nodes=50))
+    for g in graphs:  # learnable multi-class labels (a 1-class vocab has loss 0)
+        for sn in g["supernodes"].values():
+            sn["annotation"] = ["int", "str", "bool"][sum(map(ord, sn["name"])) % 3]
+    model = create_graph2class_gnn_model(
+        hidden_state_size=16,
+        padding=BatchPadding(
+            max_nodes=256, max_edge_slots=2560, max_graphs=8, edge_tile=32,
+            agg_rows=32, agg_sum_tile=0,
+            reference_budgets=typilus_reference_budgets(256),
+        ),
+    )
+    cands = [
+        BatchPadding(max_nodes=128, max_edge_slots=1280, max_graphs=4,
+                     edge_tile=32, agg_rows=32, agg_sum_tile=0,
+                     reference_budgets=typilus_reference_budgets(128)),
+        BatchPadding(max_nodes=256, max_edge_slots=2560, max_graphs=8,
+                     edge_tile=32, agg_rows=32, agg_sum_tile=0,
+                     reference_budgets=typilus_reference_budgets(256)),
+    ]
+    tuned, results = autotune_task_model(
+        model, graphs, minibatch_size=8, candidates=cands, steps=2,
+        amp=False, parallelize=False,
+    )
+    assert tuned.metadata_initialized
+    assert tuned.gnn_model.padding in [c for c in cands]
+    assert results[0].error is None and results[0].edges_per_sec > 0
+    # the tuned clone trains: one step through a real minibatch
+    module = tuned.build_neural_module()
+    params = module.init(jax.random.PRNGKey(0))
+    mb = next(iter(tuned.minibatch_iterator(
+        tuned.tensorize_dataset(iter(graphs), parallelize=False),
+        max_minibatch_size=8, parallelize=False,
+    )))[0]
+    loss, _ = module.apply(params, **mb, train=False)
+    assert float(loss) > 0
+
+    # clone_with_padding rebudgets without touching the original
+    other = clone_with_padding(model, cands[0])
+    assert other.gnn_model.padding.max_nodes == 128
+    assert model.gnn_model.padding.max_nodes == 256

@@ -51,17 +51,12 @@ def measure(tag, module, params, mb, steps=30, amp=True):
 
 
 def bench_typilus():
-    from ptgnn_tpu.graph.structs import BatchPadding
     from ptgnn_tpu.implementations.typilus.harness import build_graph2class
+    from ptgnn_tpu.implementations.typilus.train import default_padding
 
-    max_nodes = 32768
-    padding = BatchPadding(
-        max_nodes=max_nodes, max_edge_slots=max_nodes * 8, max_graphs=32,
-        edge_tile=128, agg_rows=256,
-        reference_budgets=(("supernodes", 2048), ("token-sequence", max_nodes)),
-    )
+    # measure what the stock CLI ships: the task's DEFAULT padding
     _, module, params, mbs = build_graph2class(
-        padding=padding, num_metadata_graphs=20, mean_nodes=2500,
+        padding=default_padding(), num_metadata_graphs=20, mean_nodes=2500,
         max_graph_nodes=8000, num_minibatches=1, minibatch_size=300)
     measure("typilus/graph2class", module, params, mbs[0])
 
@@ -72,9 +67,9 @@ def bench_ppi():
     from ptgnn_tpu.implementations.ppi.train import create_ppi_gnn_model
     from ptgnn_tpu.utils.synthetic import synthetic_ppi_graphs
 
-    pad = BatchPadding(max_nodes=4096, max_edge_slots=4096 * 30, max_graphs=4,
-                       edge_tile=128, agg_rows=256)
-    model = create_ppi_gnn_model(hidden_state_size=256, padding=pad)
+    from ptgnn_tpu.implementations.ppi.train import ppi_padding
+
+    model = create_ppi_gnn_model(hidden_state_size=256, padding=ppi_padding())
     raw = [
         PPIGraphSample([np.asarray(g["edges"], np.int32)], g["features"],
                        g["labels"].astype(bool))
@@ -93,7 +88,7 @@ def bench_varmisuse():
     from ptgnn_tpu.implementations.varmisuse.train import create_var_misuse_gnn_model, vm_padding
     from ptgnn_tpu.utils.synthetic import synthetic_varmisuse_samples
 
-    model = create_var_misuse_gnn_model(padding=vm_padding(16384, 64))
+    model = create_var_misuse_gnn_model(padding=vm_padding())
     raw = list(synthetic_varmisuse_samples(48, seed=0, mean_tokens=250))
     model.compute_metadata(iter(raw), parallelize=False)
     module = model.build_neural_module()
@@ -108,7 +103,7 @@ def bench_graph2seq():
     from ptgnn_tpu.implementations.graph2seq.train import create_graph2seq_model, g2s_padding
     from ptgnn_tpu.utils.synthetic import synthetic_graph2seq_samples
 
-    model = create_graph2seq_model(padding=g2s_padding(16384, 64))
+    model = create_graph2seq_model(padding=g2s_padding())
     raw = list(synthetic_graph2seq_samples(64, seed=0, mean_nodes=250, max_nodes=600))
     model.compute_metadata(iter(raw), parallelize=False)
     module = model.build_neural_module()
