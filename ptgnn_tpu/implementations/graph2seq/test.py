@@ -17,6 +17,7 @@ import numpy as np
 
 from ptgnn_tpu.implementations.graph2seq.graph2seq import Graph2Seq
 from ptgnn_tpu.implementations.graph2seq.train import load_jsonl
+from ptgnn_tpu.utils.io import configure_remote_io, data_path
 from ptgnn_tpu.utils.strsim import jaro_winkler
 
 
@@ -66,6 +67,8 @@ def evaluate(model: Graph2Seq, params, network, data: List[dict], verbose: bool 
 
 
 def run(args: argparse.Namespace) -> None:
+    if getattr(args, "azure_info", None) is not None:
+        configure_remote_io(args.azure_info)
     data = list(load_jsonl(args.test_data_path))
     model, params = Graph2Seq.restore_model(args.model_filename)
     network = model.build_neural_module()
@@ -80,9 +83,12 @@ def main() -> None:
     """Console entry point (pyproject.toml [project.scripts])."""
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("model_filename", type=Path)
-    parser.add_argument("test_data_path", type=Path)
+    parser.add_argument("test_data_path", type=data_path)
     parser.add_argument("--beam-size", type=int, default=1,
                         help="beam search width; 1 = greedy")
+    parser.add_argument("--azure-info", type=Path, default=None,
+                        help="JSON file of fsspec storage options for "
+                             "remote (e.g. az://) dataset paths")
     logging.basicConfig(level=logging.INFO)
     run(parser.parse_args())
 

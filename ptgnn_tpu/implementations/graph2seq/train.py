@@ -22,7 +22,7 @@ from ptgnn_tpu.graph.structs import BatchPadding
 from ptgnn_tpu.implementations.graph2seq.graph2seq import Graph2Seq
 from ptgnn_tpu.sequence.grucopydecoder import GruCopyingDecoderModel
 from ptgnn_tpu.utils.amlutils import configure_logging
-from ptgnn_tpu.utils.io import iter_jsonl
+from ptgnn_tpu.utils.io import configure_remote_io, data_path, iter_jsonl
 
 
 def g2s_padding(max_nodes: int = 16384, max_graphs: int = 64) -> BatchPadding:
@@ -96,8 +96,8 @@ def load_jsonl(path: Path):
 
 def build_arg_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("train_data_path", type=Path)
-    parser.add_argument("valid_data_path", type=Path)
+    parser.add_argument("train_data_path", type=data_path)
+    parser.add_argument("valid_data_path", type=data_path)
     parser.add_argument("model_filename", type=Path)
     parser.add_argument("--max-num-epochs", type=int, default=100)
     parser.add_argument("--minibatch-size", type=int, default=50)
@@ -111,11 +111,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--sequential-run", action="store_true")
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--max-nodes", type=int, default=16384)
+    parser.add_argument("--azure-info", type=Path, default=None,
+                        help="JSON file of fsspec storage options for "
+                             "remote (e.g. az://) dataset paths")
     return parser
 
 
 def run(args: argparse.Namespace) -> ModelTrainer:
     configure_logging()
+    if getattr(args, "azure_info", None) is not None:
+        configure_remote_io(args.azure_info)
     training_data = LazyDataIterable(lambda: load_jsonl(args.train_data_path))
     validation_data = LazyDataIterable(lambda: load_jsonl(args.valid_data_path))
 

@@ -14,6 +14,7 @@ from pathlib import Path
 
 from ptgnn_tpu.implementations.graph2seq import test as test_cli
 from ptgnn_tpu.implementations.graph2seq import train as train_cli
+from ptgnn_tpu.utils.io import data_path
 
 
 def run(args: argparse.Namespace) -> None:
@@ -28,7 +29,7 @@ def run(args: argparse.Namespace) -> None:
 def main() -> None:
     """Console entry point (pyproject.toml [project.scripts])."""
     parser = train_cli.build_arg_parser()
-    parser.add_argument("test_data_path", type=Path)
+    parser.add_argument("test_data_path", type=data_path)
     logging.basicConfig(level=logging.INFO)
     run(parser.parse_args())
 

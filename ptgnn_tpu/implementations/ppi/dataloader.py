@@ -8,10 +8,11 @@ into per-graph samples with node ids rebased to 0, one forward edge type.
 from __future__ import annotations
 
 import json
-from pathlib import Path
 from typing import Dict, List
 
 import numpy as np
+
+from ptgnn_tpu.utils.io import is_remote_path, join_path, open_binary
 
 
 class PPIGraphSample:
@@ -46,14 +47,18 @@ class PPIGraphSample:
 class PPIDatasetLoader:
     @classmethod
     def load_data(cls, data_dir, data_fold: str) -> List[PPIGraphSample]:
-        data_dir = Path(data_dir)
+        if not is_remote_path(data_dir):
+            data_dir = str(data_dir)
         print(f" Loading PPI {data_fold} data from {data_dir}.")
 
-        with open(data_dir / f"{data_fold}_graph.json") as f:
+        with open_binary(join_path(data_dir, f"{data_fold}_graph.json")) as f:
             graph_json_data = json.load(f)
-        node_to_features = np.load(data_dir / f"{data_fold}_feats.npy")
-        node_to_labels = np.load(data_dir / f"{data_fold}_labels.npy")
-        node_to_graph_id = np.load(data_dir / f"{data_fold}_graph_id.npy")
+        with open_binary(join_path(data_dir, f"{data_fold}_feats.npy")) as f:
+            node_to_features = np.load(f)
+        with open_binary(join_path(data_dir, f"{data_fold}_labels.npy")) as f:
+            node_to_labels = np.load(f)
+        with open_binary(join_path(data_dir, f"{data_fold}_graph_id.npy")) as f:
+            node_to_graph_id = np.load(f)
 
         # Group nodes by graph id (contiguous ranges in the GraphSAGE dump),
         # then rebase edges so each graph starts at node 0.

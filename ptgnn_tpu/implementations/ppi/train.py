@@ -22,6 +22,7 @@ from ptgnn_tpu.graph.structs import BatchPadding
 from ptgnn_tpu.implementations.ppi.dataloader import PPIDatasetLoader
 from ptgnn_tpu.implementations.ppi.ppi import PPIMulticlassClassification
 from ptgnn_tpu.utils.amlutils import configure_logging
+from ptgnn_tpu.utils.io import configure_remote_io, data_path
 
 
 def ppi_padding(max_nodes: int = 4096) -> BatchPadding:
@@ -84,7 +85,7 @@ def create_ppi_gnn_model(
 
 def build_arg_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("data_path", type=Path)
+    parser.add_argument("data_path", type=data_path)
     parser.add_argument("model_filename", type=Path)
     parser.add_argument("--max-num-epochs", type=int, default=100)
     parser.add_argument("--minibatch-size", type=int, default=50)
@@ -97,11 +98,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--max-nodes", type=int, default=4096)
     parser.add_argument("--gradient-accumulation", type=int, default=1,
                         help="apply the mean gradient of every k minibatches in one optimizer step")
+    parser.add_argument("--azure-info", type=Path, default=None,
+                        help="JSON file of fsspec storage options for "
+                             "remote (e.g. az://) dataset paths")
     return parser
 
 
 def run(args: argparse.Namespace) -> None:
     configure_logging()
+    if getattr(args, "azure_info", None) is not None:
+        configure_remote_io(args.azure_info)
     training_data = PPIDatasetLoader.load_data(args.data_path, "train")
     validation_data = PPIDatasetLoader.load_data(args.data_path, "valid")
 

@@ -32,7 +32,7 @@ from ptgnn_tpu.graph.messagepassing import (
 from ptgnn_tpu.graph.structs import BatchPadding
 from ptgnn_tpu.implementations.typilus.graph2class import Graph2Class
 from ptgnn_tpu.utils.amlutils import configure_logging, log_run
-from ptgnn_tpu.utils.io import load_from_folder
+from ptgnn_tpu.utils.io import configure_remote_io, data_path, load_from_folder
 
 
 def default_padding(
@@ -159,9 +159,9 @@ def create_graph2class_gnn_model(
 
 def build_arg_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("train_data_path", type=Path)
-    parser.add_argument("valid_data_path", type=Path)
-    parser.add_argument("test_data_path", type=Path)
+    parser.add_argument("train_data_path", type=data_path)
+    parser.add_argument("valid_data_path", type=data_path)
+    parser.add_argument("test_data_path", type=data_path)
     parser.add_argument("model_filename", type=Path)
     parser.add_argument("--max-num-epochs", type=int, default=100)
     parser.add_argument("--minibatch-size", type=int, default=300)
@@ -180,6 +180,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--autotune", action="store_true",
                         help="measure candidate batch paddings on this "
                              "dataset before training and pick the fastest")
+    parser.add_argument("--azure-info", type=Path, default=None,
+                        help="JSON file of fsspec storage options for "
+                             "remote (e.g. az://) dataset paths")
     return parser
 
 
@@ -188,6 +191,8 @@ def run(args: argparse.Namespace) -> None:
 
     aml_ctx = get_run_context() if args.aml else None
     configure_logging(aml_ctx)
+    if getattr(args, "azure_info", None) is not None:
+        configure_remote_io(args.azure_info)
 
     training_data = LazyDataIterable(
         lambda: load_from_folder(args.train_data_path, shuffle=True)

@@ -30,14 +30,14 @@ from ptgnn_tpu.parallel.distributed_trainer import (
     initialize_multi_host,
 )
 from ptgnn_tpu.utils.amlutils import configure_logging, log_run
-from ptgnn_tpu.utils.io import load_from_folder
+from ptgnn_tpu.utils.io import configure_remote_io, data_path, load_from_folder
 
 
 def build_arg_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("train_data_path", type=Path)
-    parser.add_argument("valid_data_path", type=Path)
-    parser.add_argument("test_data_path", type=Path)
+    parser.add_argument("train_data_path", type=data_path)
+    parser.add_argument("valid_data_path", type=data_path)
+    parser.add_argument("test_data_path", type=data_path)
     parser.add_argument("model_filename", type=Path)
     parser.add_argument("--max-num-epochs", type=int, default=100)
     parser.add_argument("--minibatch-size", type=int, default=300)
@@ -53,6 +53,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--coordinator", type=str, default=None)
     parser.add_argument("--num-processes", type=int, default=None)
     parser.add_argument("--process-id", type=int, default=None)
+    parser.add_argument("--azure-info", type=Path, default=None,
+                        help="JSON file of fsspec storage options for "
+                             "remote (e.g. az://) dataset paths")
     return parser
 
 
@@ -60,6 +63,8 @@ def run(args: argparse.Namespace) -> None:
     if args.coordinator is not None:
         initialize_multi_host(args.coordinator, args.num_processes, args.process_id)
     configure_logging(rank=args.process_id)
+    if getattr(args, "azure_info", None) is not None:
+        configure_remote_io(args.azure_info)
 
     import jax
 

@@ -31,7 +31,7 @@ from ptgnn_tpu.implementations.varmisuse.candidateannotatedembeddings import (
 from ptgnn_tpu.implementations.varmisuse.varmisuse import VarMisuseModel
 from ptgnn_tpu.reduceops import WeightedSumVarSizedElementReduce
 from ptgnn_tpu.utils.amlutils import configure_logging
-from ptgnn_tpu.utils.io import load_from_folder
+from ptgnn_tpu.utils.io import configure_remote_io, data_path, load_from_folder
 
 
 def vm_padding(max_nodes: int = 8192, max_graphs: int = 64) -> BatchPadding:
@@ -153,9 +153,9 @@ def create_var_misuse_gnn_model(
 
 def build_arg_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("train_data_path", type=Path)
-    parser.add_argument("valid_data_path", type=Path)
-    parser.add_argument("test_data_path", type=Path)
+    parser.add_argument("train_data_path", type=data_path)
+    parser.add_argument("valid_data_path", type=data_path)
+    parser.add_argument("test_data_path", type=data_path)
     parser.add_argument("model_filename", type=Path)
     parser.add_argument("--max-num-epochs", type=int, default=100)
     parser.add_argument("--minibatch-size", type=int, default=300)
@@ -170,11 +170,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--autotune", action="store_true",
                         help="measure candidate batch paddings on this "
                              "dataset before training and pick the fastest")
+    parser.add_argument("--azure-info", type=Path, default=None,
+                        help="JSON file of fsspec storage options for "
+                             "remote (e.g. az://) dataset paths")
     return parser
 
 
 def run(args: argparse.Namespace) -> None:
     configure_logging()
+    if getattr(args, "azure_info", None) is not None:
+        configure_remote_io(args.azure_info)
     training_data = LazyDataIterable(
         lambda: load_from_folder(args.train_data_path, shuffle=True)
     )
