@@ -5,6 +5,12 @@ trainer.py:436-439): the whole picklable model object (metadata, vocabularies)
 is saved together with the weights so a checkpoint is self-describing; the
 optimizer state + epoch index go to a sibling ``.optimizerstate`` file.
 No torch: parameters are plain numpy pytrees.
+
+Trust model: pickle runs arbitrary code on load, exactly like the
+reference's ``torch.load`` checkpoints — restore only files you produced or
+trust. For an execute-nothing-on-restore format use the orbax path
+(``core/orbax_checkpoint.py``), which stores the params/optimizer pytrees
+without pickling (see README "Checkpoint formats and trust model").
 """
 from __future__ import annotations
 

@@ -84,8 +84,8 @@ def create_mlp_mp_layers(num_edges: int):
     ]
 
 
-def train_reference(train, valid) -> float:
-    torch.manual_seed(0)
+def train_reference(train, valid, seed: int = 0) -> float:
+    torch.manual_seed(seed)
     model = RefGraph2Class(
         gnn_model=RefGnnModel(
             node_representation_model=RefStrModel(
@@ -121,7 +121,7 @@ def train_reference(train, valid) -> float:
     return float(acc)
 
 
-def train_ours(train, valid) -> float:
+def train_ours(train, valid, seed: int = 0) -> float:
     model = create_graph2class_gnn_model(
         hidden_state_size=HIDDEN, padding=small_padding(max_nodes=512, max_graphs=8),
         min_freq_threshold=2,
@@ -130,6 +130,7 @@ def train_ours(train, valid) -> float:
         trainer = ModelTrainer(
             model, Path(td) / "ours.pkl.gz", max_num_epochs=EPOCHS, minibatch_size=8,
             optimizer_creator=lambda: optax.adam(2e-3),
+            seed=seed,
         )
         trainer.train(
             LazyDataIterable(lambda: iter(train)),
@@ -142,13 +143,26 @@ def train_ours(train, valid) -> float:
     return float(acc)
 
 
+SEEDS = (0, 1, 2)
+
+
 @pytest.mark.slow
 def test_graph2class_accuracy_parity_with_reference():
+    """Multi-seed band: mean accuracy over 3 init seeds within 0.02 of the
+    reference's mean — tight enough that a real quality regression cannot
+    hide behind seed noise."""
+    import numpy as np
+
     train, valid = make_data()
-    ref_acc = train_reference(train, valid)
-    our_acc = train_ours(train, valid)
+    ref_accs = [train_reference(train, valid, seed=s) for s in SEEDS]
+    our_accs = [train_ours(train, valid, seed=s) for s in SEEDS]
+    ref_mean = float(np.mean(ref_accs))
+    our_mean = float(np.mean(our_accs))
     # Synthetic annotations are drawn from a Zipf head: predicting frequent
     # classes is learnable; both implementations must reach the same band.
-    assert ref_acc > 0.18, f"reference failed to learn (acc={ref_acc})"
-    assert our_acc > 0.18, f"ours failed to learn (acc={our_acc})"
-    assert our_acc >= ref_acc - 0.07, f"ours {our_acc} vs reference {ref_acc}"
+    assert ref_mean > 0.18, f"reference failed to learn (accs={ref_accs})"
+    assert min(our_accs) > 0.18, f"ours failed to learn (accs={our_accs})"
+    assert our_mean >= ref_mean - 0.02, (
+        f"ours {our_accs} (mean {our_mean:.4f}) vs "
+        f"reference {ref_accs} (mean {ref_mean:.4f})"
+    )

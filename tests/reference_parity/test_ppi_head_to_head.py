@@ -101,8 +101,8 @@ def create_mp_layers(num_edges: int):
     ]
 
 
-def train_reference(train, valid) -> float:
-    torch.manual_seed(0)
+def train_reference(train, valid, seed: int = 0) -> float:
+    torch.manual_seed(seed)
     model = RefPPI(
         gnn_model=RefGnnModel(
             node_representation_model=RefFeatModel(
@@ -137,7 +137,7 @@ def train_reference(train, valid) -> float:
     return float(metrics["f1_score"])
 
 
-def train_ours(train, valid) -> float:
+def train_ours(train, valid, seed: int = 0) -> float:
     pad = BatchPadding(
         max_nodes=512, max_edge_slots=512 * 24, max_graphs=4, edge_tile=64
     )
@@ -149,6 +149,7 @@ def train_ours(train, valid) -> float:
             clip_gradient_norm=1.0,
             target_validation_metric="f1_score",
             target_validation_metric_higher_is_better=True,
+            seed=seed,
         )
         trainer.train(
             LazyDataIterable(lambda: iter(to_ours(train))),
@@ -161,13 +162,24 @@ def train_ours(train, valid) -> float:
     return float(metrics["f1_score"])
 
 
+SEEDS = (0, 1, 2)
+
+
 @pytest.mark.slow
 def test_ppi_micro_f1_parity_with_reference():
+    """Multi-seed band: mean micro-F1 over 3 init seeds must match the
+    reference's mean within 0.02 — tight enough that a real quality
+    regression cannot hide behind seed noise."""
     train, valid = make_data()
-    ref_f1 = train_reference(train, valid)
-    our_f1 = train_ours(train, valid)
+    ref_f1s = [train_reference(train, valid, seed=s) for s in SEEDS]
+    our_f1s = [train_ours(train, valid, seed=s) for s in SEEDS]
+    ref_mean = float(np.mean(ref_f1s))
+    our_mean = float(np.mean(our_f1s))
     # Same data, same budget; different frameworks/inits — require the same
     # quality band, not bitwise equality.
-    assert ref_f1 > 0.55, f"reference failed to learn (f1={ref_f1})"
-    assert our_f1 > 0.55, f"ours failed to learn (f1={our_f1})"
-    assert our_f1 >= ref_f1 - 0.05, f"ours {our_f1} vs reference {ref_f1}"
+    assert ref_mean > 0.55, f"reference failed to learn (f1s={ref_f1s})"
+    assert min(our_f1s) > 0.55, f"ours failed to learn (f1s={our_f1s})"
+    assert our_mean >= ref_mean - 0.02, (
+        f"ours {our_f1s} (mean {our_mean:.4f}) vs "
+        f"reference {ref_f1s} (mean {ref_mean:.4f})"
+    )
