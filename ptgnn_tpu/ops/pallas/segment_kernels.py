@@ -23,13 +23,17 @@ dominant cost of every message-passing layer). The TPU-native formulation:
    matmul then *selects* (sums exactly one value per row) instead of
    accumulating.
 
-Maintenance note: the shift-scan/run-mark/select sequence appears in four
-kernel bodies (_extremum_kernel and the three gated variants). This
-duplication is DELIBERATE on the current toolchain — the production
-extremum kernel is frozen (any structural edit has hung the Mosaic
-compiler on v5e four times, see ROUND_NOTES.md), so a shared-helper
-refactor is deferred until a toolchain upgrade makes on-device
-revalidation safe.
+Maintenance note: the production extremum kernel is FROZEN on the current
+toolchain — any structural edit has hung the Mosaic compiler on v5e four
+times (see ROUND_NOTES.md). Three experimental variants (VMEM-resident
+output, two-phase partials, block-loop manual DMA) were interpreter-exact
+but hung or lost on device; they were pruned in round 3 and live in git
+history (`git show cb1cc90:ptgnn_tpu/ops/pallas/segment_kernels.py`) for
+retrieval after a jax/Mosaic upgrade. The one retained gate is
+``PTGNN_TPU_EXT_BF16_SEL`` (bf16 selection matmul in the extremum kernel,
+exact for one-hot selection): interpreter-verified, expected ~2x on the
+extremum's MXU portion, hangs the CURRENT toolchain — flip it on after an
+upgrade and run tests/test_pallas_segment.py.
 
 Gradients are custom VJPs: sum/mean backward is a plain gather; max/min
 backward splits the cotangent among tied extrema (jax.ops.segment_max
@@ -351,14 +355,7 @@ def planned_segment_sum(data, receivers, plan, num_nodes: int):
     by the backward gather.
     """
     data_sorted = _gather_sorted(data, plan, 0.0)
-    if _use_blockloop():
-        out = _run_kernel_blockloop(plan, data_sorted)
-    elif _resident_fits(plan, data_sorted.shape[1]):
-        out = _run_kernel_resident(plan, data_sorted, kind="sum")
-    elif _use_two_phase():
-        out = _run_kernel_two_phase(plan, data_sorted, kind="sum")
-    else:
-        out = _run_kernel(_sum_kernel, plan, data_sorted)
+    out = _run_kernel(_sum_kernel, plan, data_sorted)
     return out[:num_nodes]
 
 
@@ -380,13 +377,8 @@ def planned_segment_extremum(data, receivers, plan, num_nodes: int, is_max: bool
     """Segment max/min; masked edges must carry -/+_BIG in ``data``.
     Empty segments yield 0 (torch-scatter fill), handled via plan.counts."""
     data_sorted = _gather_sorted(data, plan, -_BIG if is_max else _BIG)
-    if _resident_fits(plan, data_sorted.shape[1]):
-        out = _run_kernel_resident(plan, data_sorted, kind="ext", is_max=is_max)
-    elif _use_two_phase():
-        out = _run_kernel_two_phase(plan, data_sorted, kind="ext", is_max=is_max)
-    else:
-        kernel = functools.partial(_extremum_kernel, is_max=is_max)
-        out = _run_kernel(kernel, plan, data_sorted)
+    kernel = functools.partial(_extremum_kernel, is_max=is_max)
+    out = _run_kernel(kernel, plan, data_sorted)
     out = out[:num_nodes]
     counts = plan.counts.reshape(-1)[:num_nodes]
     empty = counts[:, None] == 0
@@ -530,281 +522,6 @@ def adjacency_segment_reduce(
 
 
 # ---------------------------------------------------------------------------
-# VMEM-resident output variant
-# ---------------------------------------------------------------------------
-# With the output block-mapped by a scalar-prefetched index, Mosaic cannot
-# overlap consecutive grid steps well (observed ~9 us/step through the
-# dynamic out mapping). When the whole output fits in VMEM, keeping it
-# resident as scratch and accumulating through dynamic row slices lets the
-# data tiles stream at full pipeline depth; the output is written back once.
-
-_RESIDENT_VMEM_LIMIT = 12 * 1024 * 1024
-
-
-def _use_two_phase() -> bool:
-    # Measured SLOWER than the revisit kernel at the batch layout's 128-edge
-    # tiles (partials write-amplify ~2x); kept for experimentation.
-    import os
-
-    return bool(os.environ.get("PTGNN_TPU_TWO_PHASE_KERNEL"))
-
-
-def _make_resident_sum_kernel(r: int):
-    def kernel(tile_rb_ref, rows_row_ref, data_ref, out_ref, acc_ref):
-        t = pl.program_id(0)
-        n_t = pl.num_programs(0)
-
-        @pl.when(t == 0)
-        def _():
-            acc_ref[:] = jnp.zeros_like(acc_ref)
-
-        onehot_t = (
-            jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0) == rows_row_ref[0:1, :]
-        ).astype(data_ref.dtype)
-        contrib = jax.lax.dot_general(
-            onehot_t, data_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        start = tile_rb_ref[t] * r
-        acc_ref[pl.ds(start, r), :] = acc_ref[pl.ds(start, r), :] + contrib
-
-        @pl.when(t == n_t - 1)
-        def _():
-            out_ref[:] = acc_ref[:]
-
-    return kernel
-
-
-def _make_resident_extremum_kernel(r: int, is_max: bool):
-    neutral = -_BIG if is_max else _BIG
-    combine = jnp.maximum if is_max else jnp.minimum
-
-    def kernel(tile_rb_ref, local_rows_ref, rows_row_ref, data_ref, out_ref, acc_ref):
-        t = pl.program_id(0)
-        n_t = pl.num_programs(0)
-        tile = data_ref.shape[0]
-        rows2 = local_rows_ref[:]
-
-        @pl.when(t == 0)
-        def _():
-            acc_ref[:] = jnp.full_like(acc_ref, jnp.float32(neutral))
-
-        v = data_ref[:].astype(jnp.float32)
-        pos = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
-        for k in range(int(math.log2(tile))):
-            s_ = 1 << k
-            v_sh = pltpu.roll(v, shift=s_, axis=0)
-            r_sh = pltpu.roll(rows2, shift=s_, axis=0)
-            valid = jnp.logical_and(pos >= s_, r_sh == rows2)
-            v = combine(v, jnp.where(valid, v_sh, jnp.float32(neutral)))
-        nxt = pltpu.roll(rows2, shift=tile - 1, axis=0)
-        last = jnp.logical_or(nxt != rows2, pos == tile - 1)
-        mark = jnp.logical_and(last, rows2 < r)
-        markf = mark.astype(jnp.float32)
-        marked = jnp.concatenate([jnp.where(mark, v, 0.0), markf], axis=1)
-        onehot_t = (
-            jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0) == rows_row_ref[0:1, :]
-        ).astype(jnp.float32)
-        sel = jax.lax.dot_general(
-            onehot_t, marked, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        contrib = sel[:, :-1]
-        present = sel[:, -1:] > 0
-        start = tile_rb_ref[t] * r
-        cur = acc_ref[pl.ds(start, r), :]
-        acc_ref[pl.ds(start, r), :] = jnp.where(present, combine(cur, contrib), cur)
-
-        @pl.when(t == n_t - 1)
-        def _():
-            out_ref[:] = acc_ref[:]
-
-    return kernel
-
-
-def _run_kernel_resident(
-    plan: AggregationPlan, data_sorted: jax.Array, *, kind: str, is_max: bool = True
-) -> jax.Array:
-    num_tiles = plan.tile_row_blocks.shape[0]
-    agg_tile = plan.local_rows.shape[0] // num_tiles
-    num_row_blocks, r = plan.counts.shape
-    d = data_sorted.shape[1]
-    out_rows = num_row_blocks * r
-
-    in_specs = []
-    args = []
-    if kind != "sum":
-        in_specs.append(
-            pl.BlockSpec((agg_tile, 1), lambda t, rb: (t, 0), memory_space=pltpu.VMEM)
-        )
-        args.append(plan.local_rows)
-    in_specs.append(
-        pl.BlockSpec((8, agg_tile), lambda t, rb: (t, 0), memory_space=pltpu.VMEM)
-    )
-    args.append(plan.local_rows_row)
-    in_specs.append(
-        pl.BlockSpec((agg_tile, d), lambda t, rb: (t, 0), memory_space=pltpu.VMEM)
-    )
-    args.append(data_sorted)
-
-    kernel = (
-        _make_resident_sum_kernel(r)
-        if kind == "sum"
-        else _make_resident_extremum_kernel(r, is_max)
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(num_tiles,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (out_rows, d), lambda t, rb: (0, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[pltpu.VMEM((out_rows, d), jnp.float32)],
-    )
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((out_rows, d), jnp.float32),
-        grid_spec=grid_spec,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * num_tiles * agg_tile * r * d,
-            bytes_accessed=num_tiles * agg_tile * d * 4 + out_rows * d * 4,
-            transcendentals=0,
-        ),
-    )(plan.tile_row_blocks, *args)
-
-
-def _resident_fits(plan: AggregationPlan, d: int) -> bool:
-    # DISABLED: on real v5e hardware the dynamic-slice accumulation into a
-    # large VMEM scratch hangs in Mosaic (compile/execute never returns
-    # through the axon runtime). Kept for future investigation; the
-    # block-mapped kernel is the production path.
-    import os
-
-    if not os.environ.get("PTGNN_TPU_RESIDENT_KERNEL"):
-        return False
-    num_row_blocks, r = plan.counts.shape
-    return num_row_blocks * r * d * 4 <= _RESIDENT_VMEM_LIMIT
-
-
-# ---------------------------------------------------------------------------
-# Two-phase variant: static output mapping for full DMA pipelining
-# ---------------------------------------------------------------------------
-# The revisit kernel's output block is indexed by a scalar-prefetched row
-# block, which (empirically, on v5e through this toolchain) defeats Mosaic's
-# pipelining — each step pays a flush/reload latency. Phase 1 instead writes
-# a PER-TILE partial [n_tiles, R, D] with the identity index map (fully
-# pipelined streaming); phase 2 combines partials per row block with an XLA
-# segment reduce over n_tiles large rows (cheap: few, wide rows).
-
-
-def _sum_kernel_phase1(rows_row_ref, data_ref, out_ref):
-    r = out_ref.shape[1]
-    onehot_t = (
-        jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0) == rows_row_ref[0:1, :]
-    ).astype(data_ref.dtype)
-    out_ref[0] = jax.lax.dot_general(
-        onehot_t, data_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-
-
-def _extremum_kernel_phase1(local_rows_ref, rows_row_ref, data_ref, out_ref, *, is_max):
-    tile = data_ref.shape[0]
-    r = out_ref.shape[1]
-    rows2 = local_rows_ref[:]
-    neutral = -_BIG if is_max else _BIG
-    combine = jnp.maximum if is_max else jnp.minimum
-
-    v = data_ref[:].astype(jnp.float32)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
-    for k in range(int(math.log2(tile))):
-        s_ = 1 << k
-        v_sh = pltpu.roll(v, shift=s_, axis=0)
-        r_sh = pltpu.roll(rows2, shift=s_, axis=0)
-        valid = jnp.logical_and(pos >= s_, r_sh == rows2)
-        v = combine(v, jnp.where(valid, v_sh, jnp.float32(neutral)))
-    nxt = pltpu.roll(rows2, shift=tile - 1, axis=0)
-    last = jnp.logical_or(nxt != rows2, pos == tile - 1)
-    mark = jnp.logical_and(last, rows2 < r)
-    marked = jnp.concatenate(
-        [jnp.where(mark, v, 0.0), mark.astype(jnp.float32)], axis=1
-    )
-    onehot_t = (
-        jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0) == rows_row_ref[0:1, :]
-    ).astype(jnp.float32)
-    sel = jax.lax.dot_general(
-        onehot_t, marked, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [R, D+1]: run extremum per present row + presence flag
-    contrib = jnp.where(sel[:, -1:] > 0, sel[:, :-1], jnp.float32(neutral))
-    out_ref[0] = contrib
-
-
-def _run_kernel_two_phase(
-    plan: AggregationPlan, data_sorted: jax.Array, *, kind: str, is_max: bool = True
-) -> jax.Array:
-    num_tiles = plan.tile_row_blocks.shape[0]
-    agg_tile = plan.local_rows.shape[0] // num_tiles
-    num_row_blocks, r = plan.counts.shape
-    d = data_sorted.shape[1]
-
-    in_specs = []
-    args = []
-    if kind != "sum":
-        in_specs.append(
-            pl.BlockSpec((agg_tile, 1), lambda t: (t, 0), memory_space=pltpu.VMEM)
-        )
-        args.append(plan.local_rows)
-    in_specs.append(
-        pl.BlockSpec((8, agg_tile), lambda t: (t, 0), memory_space=pltpu.VMEM)
-    )
-    args.append(plan.local_rows_row)
-    in_specs.append(
-        pl.BlockSpec((agg_tile, d), lambda t: (t, 0), memory_space=pltpu.VMEM)
-    )
-    args.append(data_sorted)
-
-    kernel = (
-        _sum_kernel_phase1
-        if kind == "sum"
-        else functools.partial(_extremum_kernel_phase1, is_max=is_max)
-    )
-    partials = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, r, d), jnp.float32),
-        grid=(num_tiles,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, r, d), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * num_tiles * agg_tile * r * d,
-            bytes_accessed=num_tiles * agg_tile * d * 4 + num_tiles * r * d * 4,
-            transcendentals=0,
-        ),
-    )(*args)
-
-    flat = partials.reshape(num_tiles, r * d)
-    if kind == "sum":
-        combined = jax.ops.segment_sum(
-            flat, plan.tile_row_blocks, num_segments=num_row_blocks
-        )
-    elif is_max:
-        combined = jax.ops.segment_max(
-            flat, plan.tile_row_blocks, num_segments=num_row_blocks,
-            indices_are_sorted=True,
-        )
-    else:
-        combined = jax.ops.segment_min(
-            flat, plan.tile_row_blocks, num_segments=num_row_blocks,
-            indices_are_sorted=True,
-        )
-    return combined.reshape(num_row_blocks * r, d)
-
-
-# ---------------------------------------------------------------------------
 # Argmax-carrying extremum (single-winner routing)
 # ---------------------------------------------------------------------------
 # Carrying the winning edge slot per (node, feature) lets the max/min
@@ -932,129 +649,3 @@ def planned_segment_extremum_with_argmax(
     return vals, args
 
 
-# ---------------------------------------------------------------------------
-# Block-loop variant: static output grid + manual double-buffered DMA
-# ---------------------------------------------------------------------------
-# Grid iterates ROW BLOCKS (output mapping is static), and each step streams
-# its block's edge tiles from HBM with a two-slot async-copy pipeline. This
-# avoids both failure modes measured above: no scalar-prefetch-indexed
-# output block (revisit kernel) and no per-tile partial materialization
-# (two-phase kernel).
-
-
-def _make_blockloop_sum_kernel(r: int, tile: int, d: int):
-    def kernel(starts_ref, rows_hbm, data_hbm, out_ref, acc, rows_buf, data_buf, sems):
-        b = pl.program_id(0)
-        t0 = starts_ref[b]
-        t1 = starts_ref[b + 1]
-        nt = t1 - t0
-
-        def rows_dma(slot, k):
-            return pltpu.make_async_copy(
-                rows_hbm.at[pl.ds((t0 + k) * 8, 8), :],
-                rows_buf.at[slot],
-                sems.at[slot, 0],
-            )
-
-        def data_dma(slot, k):
-            return pltpu.make_async_copy(
-                data_hbm.at[pl.ds((t0 + k) * tile, tile), :],
-                data_buf.at[slot],
-                sems.at[slot, 1],
-            )
-
-        acc[:] = jnp.zeros((r, d), jnp.float32)
-
-        @pl.when(nt > 0)
-        def _():
-            rows_dma(0, 0).start()
-            data_dma(0, 0).start()
-
-            def body(k, carry):
-                slot = jax.lax.rem(k, 2)
-                nxt = jax.lax.rem(k + 1, 2)
-
-                @pl.when(k + 1 < nt)
-                def _():
-                    rows_dma(nxt, k + 1).start()
-                    data_dma(nxt, k + 1).start()
-
-                rows_dma(slot, k).wait()
-                data_dma(slot, k).wait()
-                rows_row = rows_buf[slot][0:1, :]  # [1, tile]
-                data = data_buf[slot]  # [tile, d]
-                onehot_t = (
-                    jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0) == rows_row
-                ).astype(data.dtype)
-                precision = (
-                    jax.lax.Precision.DEFAULT
-                    if data.dtype == jnp.bfloat16
-                    else jax.lax.Precision.HIGHEST
-                )
-                acc[:] = acc[:] + jax.lax.dot_general(
-                    onehot_t, data, dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=precision,
-                )
-                return carry
-
-            jax.lax.fori_loop(0, nt, body, 0)
-
-        out_ref[:] = acc[:]
-
-    return kernel
-
-
-def _blockloop_starts(plan: AggregationPlan) -> jax.Array:
-    """[num_blocks + 1] first-tile index per row block (host/trace compute).
-
-    tile_row_blocks is non-decreasing and every block has >= 1 tile, except
-    trailing spare tiles which repeat the last block — searchsorted handles
-    both."""
-    num_blocks = plan.counts.shape[0]
-    trb = plan.tile_row_blocks
-    return jnp.searchsorted(
-        trb, jnp.arange(num_blocks + 1, dtype=trb.dtype), side="left"
-    ).astype(jnp.int32)
-
-
-def _run_kernel_blockloop(plan: AggregationPlan, data_sorted: jax.Array) -> jax.Array:
-    num_tiles = plan.tile_row_blocks.shape[0]
-    agg_tile = plan.local_rows.shape[0] // num_tiles
-    num_row_blocks, r = plan.counts.shape
-    d = data_sorted.shape[1]
-    starts = _blockloop_starts(plan)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(num_row_blocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # rows_row stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # data stays in HBM
-        ],
-        out_specs=pl.BlockSpec((r, d), lambda b, st: (b, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((r, d), jnp.float32),
-            pltpu.VMEM((2, 8, agg_tile), plan.local_rows_row.dtype),
-            pltpu.VMEM((2, agg_tile, d), data_sorted.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
-    )
-    return pl.pallas_call(
-        _make_blockloop_sum_kernel(r, agg_tile, d),
-        out_shape=jax.ShapeDtypeStruct((num_row_blocks * r, d), jnp.float32),
-        grid_spec=grid_spec,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * num_tiles * agg_tile * r * d,
-            bytes_accessed=num_tiles * agg_tile * d * 4 + num_row_blocks * r * d * 4,
-            transcendentals=0,
-        ),
-    )(starts, plan.local_rows_row, data_sorted)
-
-
-def _use_blockloop() -> bool:
-    # DISABLED by default: hangs on v5e through this toolchain (same class
-    # of failure as the resident variant — nontrivial manual-DMA loops never
-    # return). Correct under the interpreter; revisit on newer jax/Mosaic.
-    import os
-
-    return bool(os.environ.get("PTGNN_TPU_BLOCKLOOP_KERNEL"))
