@@ -4,11 +4,23 @@ from ptgnn_tpu.parallel.distributed_trainer import (
     default_data_mesh,
     initialize_multi_host,
 )
+from ptgnn_tpu.parallel.edge_sharding import EdgeParallel
+from ptgnn_tpu.parallel.node_sharding import (
+    BoundaryBudgetError,
+    NodeParallel,
+    shard_batch_by_nodes,
+    suggest_budgets,
+)
 
 __all__ = [
+    "BoundaryBudgetError",
     "DataParallel",
     "DistributedModelTrainer",
+    "EdgeParallel",
+    "NodeParallel",
     "default_data_mesh",
     "initialize_multi_host",
+    "shard_batch_by_nodes",
     "stack_minibatches",
+    "suggest_budgets",
 ]
