@@ -38,11 +38,19 @@ class MemorizedDataIterable(Iterable[T]):
     """Caches the underlying iterable in RAM after the first pass, optionally
     reshuffling on later passes (reference: utils/data.py:29-52)."""
 
-    def __init__(self, base_iterable_func: Callable[[], Iterator[T]], shuffle: bool = False):
+    def __init__(
+        self,
+        base_iterable_func: Callable[[], Iterator[T]],
+        shuffle: bool = False,
+        rng: "random.Random" = None,
+    ):
         self.__base_iterable_func = base_iterable_func
         self.__elements: List[T] = []
         self.__use_cache = False
         self.__shuffle = shuffle
+        # None -> the module-global RNG (the reference's utils/data.py:44
+        # behavior); pass a seeded random.Random for deterministic reshuffles
+        self.__rng = rng
 
     def __yield_and_store(self, base: Iterator[T]):
         for element in base:
@@ -53,7 +61,7 @@ class MemorizedDataIterable(Iterable[T]):
     def __iter__(self) -> Iterator[T]:
         if self.__use_cache:
             if self.__shuffle:
-                random.shuffle(self.__elements)
+                (self.__rng or random).shuffle(self.__elements)
             return iter(self.__elements)
         return self.__yield_and_store(self.__base_iterable_func())
 

@@ -303,12 +303,19 @@ class AbstractNeuralModel(ABC, Generic[TRawDatapoint, TTensorizedDatapoint, TNeu
         yield_partial_minibatches: bool = True,
         shuffle_input: bool = False,
         parallelize: bool = True,
+        shuffle_rng=None,
     ) -> Iterator[Tuple[Dict[str, Any], List[Optional[TRawDatapoint]]]]:
         """Yield (minibatch dict, raw inputs) pairs; assembly and finalization
-        run pipelined in worker threads (reference: abstractneuralmodel.py:321-357)."""
+        run pipelined in worker threads (reference: abstractneuralmodel.py:321-357).
+
+        ``shuffle_rng`` (a ``random.Random``) makes the streaming shuffle
+        deterministic; None draws a fresh OS-entropy RNG (the reference's
+        global-``random`` behavior, abstractneuralmodel.py:345-346)."""
         assert self.__metadata_initialized, "Metadata has not been initialized."
         if shuffle_input:
-            tensorized_data = shuffled_iterator(tensorized_data, buffer_size=500)
+            tensorized_data = shuffled_iterator(
+                tensorized_data, buffer_size=500, rng=shuffle_rng
+            )
 
         unfinalized = ThreadedIterator(
             self.__iterate_unfinalized_minibatches(

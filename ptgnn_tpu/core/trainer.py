@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 import logging
 import math
+import random
 import time
 from pathlib import Path
 from typing import Any, Callable, Dict, Iterable, List, Optional, Protocol
@@ -422,6 +423,8 @@ class ModelTrainer:
             yield_partial_minibatches=False,
             shuffle_input=shuffle_input,
             parallelize=parallelize,
+            # data order is part of the training seed: same seed -> same run
+            shuffle_rng=random.Random(self._seed * 1_000_003 + epoch),
         )
         if self._prefetch_to_device > 1:
             mb_iter = _prefetch_device_batches(
@@ -577,7 +580,9 @@ class ModelTrainer:
             iter(validation_data), parallelize=parallelize, use_multiprocessing=use_multiprocessing
         )
         if store_tensorized_data_in_memory:
-            training_tensors = MemorizedDataIterable(training_tensors, shuffle=True)
+            training_tensors = MemorizedDataIterable(
+                training_tensors, shuffle=True, rng=random.Random(self._seed)
+            )
             validation_tensors = MemorizedDataIterable(validation_tensors)
 
         optimizer = self._optimizer_creator()

@@ -22,6 +22,7 @@ by design:
 from __future__ import annotations
 
 import logging
+import random
 import time
 from typing import Any, Dict, List, Optional
 
@@ -313,6 +314,11 @@ class DistributedModelTrainer(ModelTrainer):
                     yield_partial_minibatches=False,
                     shuffle_input=shuffle_input,
                     parallelize=parallelize,
+                    # deterministic per (seed, epoch); decorrelated per host
+                    shuffle_rng=random.Random(
+                        (self._seed * 1_000_003 + epoch) * 7919
+                        + jax.process_index()
+                    ),
                 )
             )
         ):

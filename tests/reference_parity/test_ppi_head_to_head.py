@@ -102,6 +102,11 @@ def create_mp_layers(num_edges: int):
 
 
 def train_reference(train, valid, seed: int = 0) -> float:
+    import random
+
+    # Seed the global `random` the reference's data shuffle uses (see the
+    # note in test_graph2class_head_to_head.train_reference).
+    random.seed(1_000_003 * seed + 17)
     torch.manual_seed(seed)
     model = RefPPI(
         gnn_model=RefGnnModel(
