@@ -36,6 +36,7 @@ def build_graph2class(
     minibatch_size: int = 16,
     architecture: str = "mlp",
     dropout_rate: float = 0.1,
+    topology: str = "random",
 ) -> Tuple[Graph2Class, Any, Any, List[Dict[str, Any]]]:
     """Returns (model, module, params, minibatches)."""
     import jax
@@ -47,7 +48,8 @@ def build_graph2class(
 
     def data():
         return synthetic_typilus_graphs(
-            num_metadata_graphs, seed=seed, mean_nodes=mean_nodes, max_nodes=max_graph_nodes
+            num_metadata_graphs, seed=seed, mean_nodes=mean_nodes,
+            max_nodes=max_graph_nodes, topology=topology,
         )
 
     model.compute_metadata(data(), parallelize=False)

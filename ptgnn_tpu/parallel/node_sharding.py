@@ -72,6 +72,54 @@ class NodeShardCtx(NamedTuple):
 # ---------------------------------------------------------------------------
 # Host-side resharding of a finalized GraphBatch
 # ---------------------------------------------------------------------------
+def _bfs_locality_order(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    node_graph: np.ndarray,
+    node_mask: np.ndarray,
+) -> np.ndarray:
+    """Bandwidth-reducing node order (Cuthill-McKee-style BFS per graph).
+
+    Contiguous-range node partitions cut exactly the edges that cross range
+    boundaries, so the exchange volume is the *bandwidth* of the node
+    numbering, not a property of the graph alone. Program graphs (ASTs,
+    token chains) have strong locality, but tensorization-order numbering
+    does not expose it; a per-graph BFS numbering does — the same move
+    METIS-style partitioners make in distributed GNN systems, done here as
+    a cheap linear-time pass. Returns ``perm`` with ``perm[new_row] ==
+    old_row``; graphs keep their relative order, padding rows go last.
+    """
+    n_pad = len(node_mask)
+    und_src = np.concatenate([senders, receivers])
+    und_dst = np.concatenate([receivers, senders])
+    order_e = np.argsort(und_src, kind="stable")
+    und_dst = und_dst[order_e]
+    starts = np.searchsorted(und_src[order_e], np.arange(n_pad + 1))
+
+    from collections import deque
+
+    visited = np.zeros(n_pad, bool)
+    perm = np.empty(n_pad, np.int64)
+    pos = 0
+    for seed in np.nonzero(node_mask)[0]:
+        if visited[seed]:
+            continue
+        g = node_graph[seed]
+        visited[seed] = True
+        dq = deque([int(seed)])
+        while dq:
+            u = dq.popleft()
+            perm[pos] = u
+            pos += 1
+            for v in und_dst[starts[u] : starts[u + 1]]:
+                if not visited[v] and node_mask[v] and node_graph[v] == g:
+                    visited[v] = True
+                    dq.append(int(v))
+    rest = np.nonzero(~visited)[0]  # padding rows (and masked stragglers)
+    perm[pos:] = rest
+    return perm
+
+
 def shard_batch_by_nodes(
     minibatch: Dict[str, Any],
     num_shards: int,
@@ -81,6 +129,7 @@ def shard_batch_by_nodes(
     boundary_slots: int,
     num_fwd_edge_types: Optional[int] = None,
     introduce_backwards_edges: bool = False,
+    reorder: Optional[str] = "bfs",
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Reshard one finalized (host numpy) minibatch receiver-aligned.
 
@@ -89,6 +138,12 @@ def shard_batch_by_nodes(
       * ``interior_slots`` / ``boundary_slots``: padded edge slots per shard;
       * ``boundary_budget``: boundary sender rows per ordered shard pair.
     Raises BoundaryBudgetError with the required sizes when exceeded.
+
+    ``reorder="bfs"`` (default) renumbers nodes with a per-graph BFS before
+    splitting (see ``_bfs_locality_order``) so boundary volume tracks the
+    graph's actual locality instead of tensorization order; message passing
+    is permutation-equivariant, so results are unchanged. ``reorder=None``
+    partitions in tensorization order.
     """
     batch: GraphBatch = minibatch["batch"]
     adj = batch.adjacency
@@ -124,6 +179,23 @@ def shard_batch_by_nodes(
         if adj.edge_feature_slot is not None
         else np.full(len(real), -1, np.int32)
     )
+
+    node_graph_h = np.asarray(batch.node_graph)
+    node_mask_h = np.asarray(batch.node_mask)
+    if reorder == "bfs":
+        perm = _bfs_locality_order(s_arr, r_arr, node_graph_h, node_mask_h)
+        inv = np.empty(n_pad + 1, np.int64)
+        inv[perm] = np.arange(n_pad)
+        inv[n_pad] = n_pad  # padded reference slots point past the end
+        s_arr = inv[s_arr]
+        r_arr = inv[r_arr]
+        node_graph_h = node_graph_h[perm]
+        node_mask_h = node_mask_h[perm]
+    elif reorder is None:
+        perm = inv = None
+    else:
+        raise ValueError(f"unknown reorder mode {reorder!r}")
+
     recv_shard = r_arr // rows_per
     send_shard = s_arr // rows_per
 
@@ -215,8 +287,8 @@ def shard_batch_by_nodes(
 
     rows_ext = rows_per + S * b
     g_pad = batch.max_graphs
-    node_graph = np.asarray(batch.node_graph).reshape(S, rows_per)
-    node_mask = np.asarray(batch.node_mask).reshape(S, rows_per)
+    node_graph = node_graph_h.reshape(S, rows_per)
+    node_mask = node_mask_h.reshape(S, rows_per)
     node_graph_ext = np.concatenate(
         [node_graph, np.full((S, S * b), g_pad, node_graph.dtype)], axis=1
     )
@@ -230,19 +302,32 @@ def shard_batch_by_nodes(
             f"node_data array with leading dim {x.shape[0]} != max_nodes "
             f"{n_pad} cannot be node-sharded"
         )
+        if perm is not None:
+            x = x[perm]
         return x.reshape((S, rows_per) + x.shape[1:])
+
+    references = batch.references
+    if perm is not None and references:
+        def remap_ref(ref):
+            ids = np.asarray(ref.node_ids)
+            m = np.asarray(ref.mask)
+            new_ids = np.where(m, inv[np.clip(ids, 0, n_pad)], ids)
+            return ref._replace(node_ids=new_ids.astype(ids.dtype))
+
+        references = {k: remap_ref(v) for k, v in references.items()}
 
     sharded_batch = batch._replace(
         node_data=jax.tree_util.tree_map(slice_nodes, batch.node_data),
         adjacency=stack_adj(adj_int),
         node_graph=node_graph_ext,
         node_mask=node_mask_ext,
+        references=references,
         att_order=None,
         node_sharding=NodeShardingData(
             adjacency_bnd=stack_adj(adj_bnd),
             send_idx=send_idx,
-            node_graph_global=np.asarray(batch.node_graph),
-            node_mask_global=np.asarray(batch.node_mask),
+            node_graph_global=node_graph_h,
+            node_mask_global=node_mask_h,
             boundary_counts=boundary_counts,
         ),
     )
@@ -265,10 +350,11 @@ def shard_batch_by_nodes(
 
 
 def suggest_budgets(
-    minibatches, num_shards: int, *, tile_of=None
+    minibatches, num_shards: int, *, tile_of=None, reorder: Optional[str] = "bfs"
 ) -> Dict[str, int]:
     """Scan finalized minibatches and return the smallest static budgets
-    (rounded up to tile multiples) that fit all of them."""
+    (rounded up to tile multiples) that fit all of them. ``reorder`` must
+    match what the later ``shard_batch_by_nodes`` calls will use."""
     b = e_int = e_bnd = 0
     tile = None
     for mb in minibatches:
@@ -277,7 +363,7 @@ def suggest_budgets(
         try:
             shard_batch_by_nodes(
                 mb, num_shards, boundary_budget=1, interior_slots=tile,
-                boundary_slots=tile,
+                boundary_slots=tile, reorder=reorder,
             )
         except BoundaryBudgetError as exc:
             import re
@@ -444,6 +530,7 @@ class NodeParallel:
         boundary_budget: int,
         interior_slots: int,
         boundary_slots: int,
+        reorder: Optional[str] = "bfs",
     ):
         self.module = module
         self.optimizer = optimizer
@@ -454,6 +541,7 @@ class NodeParallel:
         self.boundary_budget = boundary_budget
         self.interior_slots = interior_slots
         self.boundary_slots = boundary_slots
+        self.reorder = reorder
         gnn = getattr(module, "gnn", None) or getattr(module, "_gnn", None)
         assert gnn is not None, "NodeParallel needs a module exposing .gnn"
         gnn.node_partition_axis = axis
@@ -466,6 +554,7 @@ class NodeParallel:
             boundary_budget=self.boundary_budget,
             interior_slots=self.interior_slots,
             boundary_slots=self.boundary_slots,
+            reorder=self.reorder,
         )
         return sharded
 

@@ -29,6 +29,43 @@ _IDENTIFIERS = [
 _EDGE_TYPES = ["NEXT", "CHILD", "OCCURRENCE_OF", "COMPUTED_FROM", "RETURNS_TO"]
 
 
+def _ast_like_edges(rng, n: int, token_len: int, edges_per_node: float):
+    """Program-graph-shaped edge families: token chain + banded AST tree +
+    geometric-offset semantic edges (~90% short-range, long tail)."""
+
+    def to_adj(src, dst):
+        adj: Dict[str, List[int]] = {}
+        for s, d in zip(src, dst):
+            adj.setdefault(str(int(s)), []).append(int(d))
+        return adj
+
+    edges: Dict[str, Dict[str, List[int]]] = {}
+    # NEXT: the token-sequence chain.
+    if token_len > 1:
+        toks = np.arange(token_len)
+        edges["NEXT"] = to_adj(toks[:-1], toks[1:])
+    # CHILD: every non-root node hangs off a parent at most ~32 rows back —
+    # the banded structure a pre-order AST numbering gives.
+    if n > 1:
+        kids = np.arange(1, n)
+        parents = kids - 1 - rng.randint(0, np.minimum(kids, 32))
+        edges["CHILD"] = to_adj(parents, kids)
+    # Semantic families: offsets geometric(p=1/24) -> mostly local, a few
+    # long-range, sized so the total edge budget matches the random mode.
+    remaining = max(0, int(edges_per_node * n) - (token_len - 1) - (n - 1))
+    for et in ("OCCURRENCE_OF", "COMPUTED_FROM", "RETURNS_TO"):
+        num_e = rng.poisson(max(1, remaining // 3))
+        if num_e == 0 or n < 2:
+            continue
+        src = rng.randint(0, n, num_e)
+        off = rng.geometric(1.0 / 24.0, num_e) * rng.choice([-1, 1], num_e)
+        dst = np.clip(src + off, 0, n - 1)
+        keep = dst != src
+        if keep.any():
+            edges[et] = to_adj(src[keep], dst[keep])
+    return edges
+
+
 def synthetic_typilus_graphs(
     num_graphs: int,
     seed: int = 0,
@@ -36,10 +73,22 @@ def synthetic_typilus_graphs(
     max_nodes: int = 2000,
     edges_per_node: float = 2.0,
     supernode_fraction: float = 0.05,
+    topology: str = "random",
 ) -> Iterator[Dict]:
     """Typilus-schema graphs (see reference graph2class.py:24-33): string
     nodes, nested {edge_type: {src: [dsts]}} adjacency, annotated supernodes,
-    a token-sequence backbone."""
+    a token-sequence backbone.
+
+    ``topology="random"`` draws uniform src->dst pairs — an expander, the
+    adversarial case for any graph partitioner, kept as the default so
+    benchmark batches stay comparable across rounds. ``topology="ast"``
+    mirrors real Typilus program graphs (AST + token stream,
+    reference graph2class.py:24-33 schema): NEXT is the token chain, CHILD a
+    banded tree (pre-order AST parents are near their children), and the
+    semantic families are mostly short-range with a geometric tail — the
+    locality real code graphs have and partitioners rely on."""
+    if topology not in ("random", "ast"):
+        raise ValueError(f"unknown topology {topology!r}")
     rng = np.random.RandomState(seed)
     # Zipf-ish type frequencies so the class vocabulary has a head and a tail.
     type_probs = 1.0 / np.arange(1, len(_TYPE_NAMES) + 1)
@@ -52,16 +101,19 @@ def synthetic_typilus_graphs(
         token_sequence = list(range(token_len))
 
         edges: Dict[str, Dict[str, List[int]]] = {}
-        for et in _EDGE_TYPES:
-            num_e = rng.poisson(edges_per_node * n / len(_EDGE_TYPES))
-            if num_e == 0:
-                continue
-            src = rng.randint(0, n, num_e)
-            dst = rng.randint(0, n, num_e)
-            adj: Dict[str, List[int]] = {}
-            for s, d in zip(src, dst):
-                adj.setdefault(str(int(s)), []).append(int(d))
-            edges[et] = adj
+        if topology == "random":
+            for et in _EDGE_TYPES:
+                num_e = rng.poisson(edges_per_node * n / len(_EDGE_TYPES))
+                if num_e == 0:
+                    continue
+                src = rng.randint(0, n, num_e)
+                dst = rng.randint(0, n, num_e)
+                adj: Dict[str, List[int]] = {}
+                for s, d in zip(src, dst):
+                    adj.setdefault(str(int(s)), []).append(int(d))
+                edges[et] = adj
+        else:
+            edges = _ast_like_edges(rng, n, token_len, edges_per_node)
 
         num_supernodes = max(1, int(n * supernode_fraction))
         supernode_idxs = rng.choice(n, size=num_supernodes, replace=False)

@@ -56,8 +56,11 @@ def reshard(batch, **over):
 
 
 def test_reshard_preserves_every_edge_once():
+    # reorder=None: this asserts the splitting invariant in GLOBAL node ids;
+    # semantic parity WITH the BFS renumbering is covered by
+    # test_node_parallel_train_step_matches_single_device (reorder default).
     pad, batch = build_batch()
-    sharded, stats = reshard(batch)
+    sharded, stats = reshard(batch, reorder=None)
     sb = sharded["batch"]
     rows_per = pad.max_nodes // S
 
@@ -92,6 +95,64 @@ def test_reshard_preserves_every_edge_once():
             got.append((int(global_sender), int(rcv) + s * rows_per, int(t)))
     assert sorted(got) == expected
     assert stats["boundary_nodes_total"] > 0, "test graphs must straddle shards"
+
+
+def build_scrambled_chain_batch(seed=7, nodes_per_graph=(40, 35, 30)):
+    """Chain graphs whose tensorization order is a random permutation: the
+    topology has perfect locality, the numbering hides it."""
+    rng = np.random.RandomState(seed)
+    pad = BatchPadding(
+        max_nodes=128, max_edge_slots=16 * 256, max_graphs=4, edge_tile=16,
+        agg_rows=16, agg_sum_tile=0,
+    )
+    b = GraphBatcher(1, pad, introduce_backwards_edges=True, add_self_edges=False)
+    mb = b.initialize()
+    for n in nodes_per_graph:
+        p = rng.permutation(n).astype(np.int32)
+        adj = [(p[:-1], p[1:])]
+        g = TensorizedGraphData(
+            num_nodes=n, node_tensorized_data=[0] * n, adjacency_lists=adj,
+            edge_features=None, reference_nodes={},
+        )
+        assert b.can_add(g, mb)
+        b.extend(g, mb)
+    return pad, b.finalize(mb, node_data={}, reference_names=[])
+
+
+def test_bfs_reorder_recovers_locality():
+    """On graphs with local topology but scrambled numbering, the BFS
+    renumbering must cut boundary volume by a large factor — this is the
+    production case (program graphs are chains/trees; tensorization order
+    need not expose it)."""
+    _, batch = build_scrambled_chain_batch()
+    _, stats_id = reshard(batch, reorder=None)
+    _, stats_bfs = reshard(batch)  # default reorder="bfs"
+    assert stats_bfs["boundary_nodes_total"] > 0  # chains still straddle
+    assert (
+        stats_bfs["boundary_nodes_total"]
+        <= stats_id["boundary_nodes_total"] // 4
+    ), (stats_bfs["boundary_nodes_total"], stats_id["boundary_nodes_total"])
+    # a chain crossing S-1 range cuts twice (fwd+bwd edge) per graph
+    assert stats_bfs["boundary_nodes_total"] <= 8 * len((40, 35, 30))
+
+
+def test_ast_topology_generator_schema():
+    """topology="ast" must produce valid Typilus-schema graphs with mostly
+    short-range edges (the locality the reorder relies on)."""
+    from ptgnn_tpu.utils.synthetic import synthetic_typilus_graphs
+
+    offs = []
+    for g in synthetic_typilus_graphs(4, seed=0, mean_nodes=120, topology="ast"):
+        n = len(g["nodes"])
+        assert g["supernodes"]
+        for et, adj in g["edges"].items():
+            for src, dsts in adj.items():
+                assert 0 <= int(src) < n
+                for d in dsts:
+                    assert 0 <= d < n
+                    offs.append(abs(d - int(src)))
+    offs = np.asarray(offs)
+    assert (offs <= 32).mean() > 0.8, "ast topology should be mostly local"
 
 
 def test_reshard_budget_error_reports_requirements():
