@@ -34,7 +34,8 @@ _RESULT = {
     "unit": "edges/s",
     "vs_baseline": 0.0,
 }
-_EMITTED = threading.Event()
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
 
 
 def log(msg: str) -> None:
@@ -42,13 +43,16 @@ def log(msg: str) -> None:
 
 
 def emit(**extra) -> None:
-    """Print the single JSON result line exactly once."""
-    if _EMITTED.is_set():
-        return
-    _EMITTED.set()
-    out = dict(_RESULT)
-    out.update(extra)
-    print(json.dumps(out), flush=True)
+    """Print the single JSON result line exactly once (watchdog thread and
+    main thread can race here; the lock keeps stdout to ONE line)."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+        out = dict(_RESULT)
+        out.update(extra)
+        print(json.dumps(out), flush=True)
 
 
 def probe_backend(attempts: int = 4, probe_timeout: float = 180.0) -> bool:

@@ -190,7 +190,14 @@ class GraphNeuralNetwork(Module):
                         "batches (its receptive field crosses shard rows); use "
                         "EdgeParallel or run it unsharded"
                     )
-                recv = exchange_boundary(H, ns_static.send_idx, axis)
+                if getattr(layer, "needs_boundary_exchange", True):
+                    recv = exchange_boundary(H, ns_static.send_idx, axis)
+                else:
+                    # layer never reads sender features (GraphNorm, global
+                    # exchange): skip the all_to_all, keep the buffer shape
+                    recv = jnp.zeros(
+                        (ns_static.send_idx.size, H.shape[-1]), H.dtype
+                    )
                 h_ext = jnp.concatenate([H, recv], axis=0)
                 ctx_i = ctx._replace(
                     node_sharding=NodeShardCtx(

@@ -167,6 +167,12 @@ def fused_linear_message_aggregation_or_none(
 class AbstractMessagePassingLayer(Module):
     """apply(params, node_states [N,D], ctx) -> [N, D'] output node states."""
 
+    # Under node sharding: does this layer read cross-shard SENDER features
+    # (adjacency/recv buffer)? Layers that only use per-graph statistics
+    # (GraphNorm) or all_gather their own view (global exchange) set this
+    # False and the engine skips their boundary all_to_all entirely.
+    needs_boundary_exchange: bool = True
+
     def apply(
         self,
         params: Params,

@@ -22,6 +22,10 @@ from ptgnn_tpu.reduceops.varsizedsummary import (
 
 
 class AbstractGlobalGraphExchange(AbstractMessagePassingLayer):
+    # all_gathers its own node view for the per-graph summary; never reads
+    # the boundary recv buffer or the adjacency
+    needs_boundary_exchange = False
+
     def __init__(
         self,
         global_graph_representation_module: AbstractVarSizedElementReduce,

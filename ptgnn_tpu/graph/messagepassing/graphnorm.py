@@ -17,6 +17,9 @@ from ptgnn_tpu.ops.segment import segment_count, segment_sum
 
 
 class GraphNorm(AbstractMessagePassingLayer):
+    # per-graph moments psum over the node axis; no sender features read
+    needs_boundary_exchange = False
+
     def __init__(self, input_state_dimension: int, eps: float = 1e-10):
         self.__input_state_dim = input_state_dimension
         self.__eps = eps

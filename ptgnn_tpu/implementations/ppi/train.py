@@ -93,6 +93,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--autotune", action="store_true",
                         help="measure candidate batch paddings on this "
                              "dataset before training and pick the fastest")
+    parser.add_argument("--amp", action="store_true", help="bf16 mixed precision")
     parser.add_argument("--sequential-run", action="store_true")
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--max-nodes", type=int, default=4096)
@@ -145,6 +146,7 @@ def run(args: argparse.Namespace) -> None:
         minibatch_size=args.minibatch_size,
         gradient_accumulation_steps=args.gradient_accumulation,
         optimizer_creator=lambda: optax.adam(1e-3),
+        enable_amp=args.amp,
         clip_gradient_norm=1.0,
         target_validation_metric="f1_score",
         target_validation_metric_higher_is_better=True,

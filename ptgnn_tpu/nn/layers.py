@@ -217,7 +217,7 @@ class GRUCell(Module):
         gh = (
             jax.lax.dot_general(
                 h, params["weight_hh"], (((h.ndim - 1,), (1,)), ((), ())),
-                preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
+                preferred_element_type=jnp.promote_types(h.dtype, jnp.float32),
             ).astype(h.dtype)
             + params["bias_hh"]
         )

@@ -40,7 +40,16 @@ from ptgnn_tpu.graph.structs import AdjacencyStruct, GraphBatch
 
 class BoundaryBudgetError(ValueError):
     """A shard's interior/boundary slots or per-pair boundary-node budget is
-    too small for this batch; the message carries the required sizes."""
+    too small for this batch. The required sizes are carried as attributes
+    (``required_boundary_budget`` / ``required_interior_slots`` /
+    ``required_boundary_slots``) as well as in the message."""
+
+    def __init__(self, msg: str, *, boundary_budget: int = 0,
+                 interior_slots: int = 0, boundary_slots: int = 0):
+        super().__init__(msg)
+        self.required_boundary_budget = boundary_budget
+        self.required_interior_slots = interior_slots
+        self.required_boundary_slots = boundary_slots
 
 
 class NodeShardingData(NamedTuple):
@@ -84,12 +93,34 @@ def _bfs_locality_order(
     boundaries, so the exchange volume is the *bandwidth* of the node
     numbering, not a property of the graph alone. Program graphs (ASTs,
     token chains) have strong locality, but tensorization-order numbering
-    does not expose it; a per-graph BFS numbering does — the same move
+    need not expose it; a BFS/Cuthill-McKee numbering does — the same move
     METIS-style partitioners make in distributed GNN systems, done here as
     a cheap linear-time pass. Returns ``perm`` with ``perm[new_row] ==
-    old_row``; graphs keep their relative order, padding rows go last.
+    old_row``; padding rows go last.
+
+    Uses scipy's C-compiled reverse Cuthill-McKee when available (graphs in
+    the flattened batch are separate components, so per-graph locality is
+    preserved); falls back to a pure-Python per-graph BFS otherwise.
     """
     n_pad = len(node_mask)
+    try:
+        from scipy.sparse import coo_matrix
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        und_src = np.concatenate([senders, receivers])
+        und_dst = np.concatenate([receivers, senders])
+        m = coo_matrix(
+            (np.ones(len(und_src), np.int8), (und_src, und_dst)),
+            shape=(n_pad, n_pad),
+        ).tocsr()
+        perm = np.asarray(reverse_cuthill_mckee(m, symmetric_mode=True), np.int64)
+        # keep padding rows at the tail (RCM treats isolated rows as their
+        # own components and can interleave them)
+        masked = node_mask[perm]
+        return np.concatenate([perm[masked], perm[~masked]])
+    except ImportError:  # pragma: no cover - scipy is in the base image
+        pass
+
     und_src = np.concatenate([senders, receivers])
     und_dst = np.concatenate([receivers, senders])
     order_e = np.argsort(und_src, kind="stable")
@@ -120,6 +151,18 @@ def _bfs_locality_order(
     return perm
 
 
+def _boundary_rows_under(senders, receivers, rows_per: int, num_shards: int) -> int:
+    """Count the distinct (sender row, reader shard) pairs a contiguous-range
+    partition would exchange — the quantity the budgets pay for."""
+    ss = senders // rows_per
+    rs = receivers // rows_per
+    cross = ss != rs
+    if not cross.any():
+        return 0
+    pairs = senders[cross].astype(np.int64) * num_shards + rs[cross]
+    return len(np.unique(pairs))
+
+
 def shard_batch_by_nodes(
     minibatch: Dict[str, Any],
     num_shards: int,
@@ -129,7 +172,7 @@ def shard_batch_by_nodes(
     boundary_slots: int,
     num_fwd_edge_types: Optional[int] = None,
     introduce_backwards_edges: bool = False,
-    reorder: Optional[str] = "bfs",
+    reorder: Optional[str] = "auto",
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Reshard one finalized (host numpy) minibatch receiver-aligned.
 
@@ -139,11 +182,15 @@ def shard_batch_by_nodes(
       * ``boundary_budget``: boundary sender rows per ordered shard pair.
     Raises BoundaryBudgetError with the required sizes when exceeded.
 
-    ``reorder="bfs"`` (default) renumbers nodes with a per-graph BFS before
-    splitting (see ``_bfs_locality_order``) so boundary volume tracks the
-    graph's actual locality instead of tensorization order; message passing
-    is permutation-equivariant, so results are unchanged. ``reorder=None``
-    partitions in tensorization order.
+    ``reorder`` controls the node numbering the contiguous-range partition
+    cuts against; message passing is permutation-equivariant, so results
+    are unchanged in every mode:
+      * ``"auto"`` (default): compute the BFS/Cuthill-McKee renumbering and
+        keep whichever of {tensorization order, renumbered} exchanges fewer
+        boundary rows — data already numbered with locality (pre-order
+        ASTs) keeps its order, scrambled numberings get repaired;
+      * ``"bfs"``: always renumber (see ``_bfs_locality_order``);
+      * ``None``: always partition in tensorization order.
     """
     batch: GraphBatch = minibatch["batch"]
     adj = batch.adjacency
@@ -182,15 +229,24 @@ def shard_batch_by_nodes(
 
     node_graph_h = np.asarray(batch.node_graph)
     node_mask_h = np.asarray(batch.node_mask)
-    if reorder == "bfs":
+    if reorder in ("bfs", "auto"):
         perm = _bfs_locality_order(s_arr, r_arr, node_graph_h, node_mask_h)
         inv = np.empty(n_pad + 1, np.int64)
         inv[perm] = np.arange(n_pad)
         inv[n_pad] = n_pad  # padded reference slots point past the end
-        s_arr = inv[s_arr]
-        r_arr = inv[r_arr]
-        node_graph_h = node_graph_h[perm]
-        node_mask_h = node_mask_h[perm]
+        if reorder == "auto":
+            # keep whichever numbering cuts fewer boundary rows: data whose
+            # tensorization order already exposes locality (e.g. pre-order
+            # ASTs) can beat a generic BFS renumbering
+            before = _boundary_rows_under(s_arr, r_arr, rows_per, S)
+            after = _boundary_rows_under(inv[s_arr], inv[r_arr], rows_per, S)
+            if before <= after:
+                perm = inv = None
+        if perm is not None:
+            s_arr = inv[s_arr]
+            r_arr = inv[r_arr]
+            node_graph_h = node_graph_h[perm]
+            node_mask_h = node_mask_h[perm]
     elif reorder is None:
         perm = inv = None
     else:
@@ -256,7 +312,10 @@ def shard_batch_by_nodes(
             f"node-sharding budgets too small for this batch: needs "
             f"boundary_budget>={max_pair} (have {b}), "
             f"interior_slots>={req_int} (have {interior_slots}), "
-            f"boundary_slots>={req_bnd} (have {boundary_slots})"
+            f"boundary_slots>={req_bnd} (have {boundary_slots})",
+            boundary_budget=max_pair,
+            interior_slots=req_int,
+            boundary_slots=req_bnd,
         )
 
     def assemble(arrays, e_pad, sender_domain):
@@ -350,7 +409,7 @@ def shard_batch_by_nodes(
 
 
 def suggest_budgets(
-    minibatches, num_shards: int, *, tile_of=None, reorder: Optional[str] = "bfs"
+    minibatches, num_shards: int, *, tile_of=None, reorder: Optional[str] = "auto"
 ) -> Dict[str, int]:
     """Scan finalized minibatches and return the smallest static budgets
     (rounded up to tile multiples) that fit all of them. ``reorder`` must
@@ -366,17 +425,9 @@ def suggest_budgets(
                 boundary_slots=tile, reorder=reorder,
             )
         except BoundaryBudgetError as exc:
-            import re
-
-            m = re.search(
-                r"boundary_budget>=(\d+).*interior_slots>=(\d+).*"
-                r"boundary_slots>=(\d+)",
-                str(exc),
-            )
-            assert m is not None
-            b = max(b, int(m.group(1)))
-            e_int = max(e_int, int(m.group(2)))
-            e_bnd = max(e_bnd, int(m.group(3)))
+            b = max(b, exc.required_boundary_budget)
+            e_int = max(e_int, exc.required_interior_slots)
+            e_bnd = max(e_bnd, exc.required_boundary_slots)
     tile = tile or 128
     ceil = lambda n, k: -(-max(n, 1) // k) * k
     return {
@@ -530,7 +581,7 @@ class NodeParallel:
         boundary_budget: int,
         interior_slots: int,
         boundary_slots: int,
-        reorder: Optional[str] = "bfs",
+        reorder: Optional[str] = "auto",
     ):
         self.module = module
         self.optimizer = optimizer

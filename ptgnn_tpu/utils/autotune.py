@@ -102,7 +102,11 @@ def measure_padding(
         module, params, minibatches = build(padding)
     except Exception as e:  # candidate infeasible (budget too small, OOM, ...)
         return TuneResult(padding, 0.0, float("inf"), 0, 0, error=repr(e))
-    assert minibatches, "build() returned no minibatches"
+    if not minibatches:
+        # every sampled graph exceeded this candidate's budgets (the batcher
+        # silently drops graphs that can't fit an empty batch) — infeasible,
+        # not an error for the whole sweep
+        return TuneResult(padding, 0.0, float("inf"), 0, 0, error="no graphs fit")
     from ptgnn_tpu.parallel.dp import _cast_floats as _cast
 
     mb = jax.device_put(minibatches[0])

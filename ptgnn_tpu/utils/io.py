@@ -15,6 +15,7 @@ processes (the default Linux start method) inherit them.
 from __future__ import annotations
 
 import gzip
+import io
 import json
 import random
 from pathlib import Path
@@ -91,7 +92,9 @@ def iter_jsonl(path) -> Iterator[Any]:
         yield from iter_jsonl_gz(path)
         return
     with open_binary(path) as raw:
-        for line in raw.read().decode("utf-8").splitlines():
+        # wrap rather than slurp: multi-GB plain jsonl must stream in
+        # constant memory (works for local files and fsspec file objects)
+        for line in io.TextIOWrapper(raw, encoding="utf-8"):
             line = line.strip()
             if line:
                 yield json.loads(line)

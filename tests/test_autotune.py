@@ -122,3 +122,42 @@ def test_autotune_task_model_retunes_and_keeps_metadata():
     other = clone_with_padding(model, cands[0])
     assert other.gnn_model.padding.max_nodes == 128
     assert model.gnn_model.padding.max_nodes == 256
+
+
+def test_autotune_marks_unfittable_candidate_infeasible():
+    """A candidate too small for ANY sampled graph must become an error'd
+    TuneResult, not crash the sweep (the batcher silently drops graphs that
+    cannot fit an empty batch, so build() yields zero minibatches)."""
+    from ptgnn_tpu.graph.structs import BatchPadding
+    from ptgnn_tpu.implementations.typilus.train import (
+        create_graph2class_gnn_model,
+        typilus_reference_budgets,
+    )
+    from ptgnn_tpu.utils.autotune import autotune_task_model
+    from ptgnn_tpu.utils.synthetic import synthetic_typilus_graphs
+
+    graphs = list(
+        synthetic_typilus_graphs(6, seed=0, mean_nodes=60, max_nodes=100)
+    )
+    for g in graphs:
+        for sn in g["supernodes"].values():
+            sn["annotation"] = ["int", "str"][sum(map(ord, sn["name"])) % 2]
+    tiny = BatchPadding(  # smaller than every ~60-node graph
+        max_nodes=32, max_edge_slots=320, max_graphs=2, edge_tile=32,
+        agg_rows=32, agg_sum_tile=0,
+        reference_budgets=typilus_reference_budgets(32),
+    )
+    ok = BatchPadding(
+        max_nodes=256, max_edge_slots=2560, max_graphs=8, edge_tile=32,
+        agg_rows=32, agg_sum_tile=0,
+        reference_budgets=typilus_reference_budgets(256),
+    )
+    model = create_graph2class_gnn_model(hidden_state_size=16, padding=ok)
+    tuned, results = autotune_task_model(
+        model, graphs, minibatch_size=8, candidates=[tiny, ok], steps=2,
+        amp=False, parallelize=False,
+    )
+    by_padding = {r.padding.max_nodes: r for r in results}
+    assert by_padding[32].error is not None
+    assert by_padding[256].error is None
+    assert tuned.gnn_model.padding.max_nodes == 256

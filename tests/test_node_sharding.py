@@ -233,6 +233,89 @@ def test_node_parallel_train_step_matches_single_device(architecture):
         )
 
 
+def test_node_parallel_heterogeneous_stack_matches_single_device():
+    """A stack mixing exchange-free layers (GraphNorm, global exchange —
+    their boundary all_to_all is skipped entirely) with GGNN layers must
+    still match the single-device step exactly."""
+    import optax
+
+    from ptgnn_tpu.graph.embedders import StrElementRepresentationModel
+    from ptgnn_tpu.graph.gnn import GraphNeuralNetworkModel
+    from ptgnn_tpu.graph.messagepassing import GatedMessagePassingLayer
+    from ptgnn_tpu.graph.messagepassing.global_exchange import GruGlobalStateUpdate
+    from ptgnn_tpu.graph.messagepassing.graphnorm import GraphNorm
+    from ptgnn_tpu.implementations.typilus.graph2class import Graph2Class
+    from ptgnn_tpu.implementations.typilus.harness import small_padding
+    from ptgnn_tpu.parallel.node_sharding import NodeParallel
+    from ptgnn_tpu.reduceops.varsizedsummary import SimpleVarSizedElementReduce
+    from ptgnn_tpu.utils.synthetic import synthetic_typilus_graphs
+
+    H = 32
+
+    def creator(num_edges: int):
+        mk = lambda: GatedMessagePassingLayer(
+            state_dimension=H, message_dimension=H, num_edge_types=num_edges,
+            message_aggregation_function="max", dropout_rate=0.0,
+        )
+        return [
+            mk(),
+            GraphNorm(H),
+            GruGlobalStateUpdate(
+                SimpleVarSizedElementReduce("mean"),
+                input_state_size=H, summarized_state_size=H,
+            ),
+            mk(),
+        ]
+
+    model = Graph2Class(
+        gnn_model=GraphNeuralNetworkModel(
+            node_representation_model=StrElementRepresentationModel(
+                embedding_size=H, token_splitting="subtoken",
+                subtoken_combination="mean", vocabulary_size=10000,
+                min_freq_threshold=2, dropout_rate=0.0,
+            ),
+            message_passing_layer_creator=creator,
+            padding=small_padding(max_nodes=256, max_graphs=8),
+            introduce_backwards_edges=True,
+            add_self_edges=True,
+            edge_dropout_rate=0.0,
+        ),
+        max_num_classes=100,
+    )
+
+    def data():
+        return synthetic_typilus_graphs(16, seed=2, mean_nodes=60, max_nodes=120)
+
+    model.compute_metadata(data(), parallelize=False)
+    module = model.build_neural_module()
+    params = module.init(jax.random.PRNGKey(0))
+    mb = next(
+        model.minibatch_iterator(
+            model.tensorize_dataset(data(), parallelize=False),
+            max_minibatch_size=8, parallelize=False,
+        )
+    )[0]
+
+    def loss_fn(p):
+        loss, _ = module.apply(p, **mb, train=True, rng=jax.random.PRNGKey(3))
+        return loss
+
+    ref_loss = float(loss_fn(params))
+
+    opt = optax.sgd(0.05)
+    budgets = suggest_budgets([mb], 4)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("node",))
+    npar = NodeParallel(module, opt, mesh, axis="node", **budgets)
+    sharded_mb = npar.shard_batch(mb)
+    step = npar.build_train_step(sharded_mb)
+    _, _, loss, _ = step(
+        jax.tree_util.tree_map(jnp.copy, params), opt.init(params), sharded_mb,
+        jax.random.PRNGKey(3),
+    )
+    module.gnn.node_partition_axis = None
+    np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-5)
+
+
 def test_node_parallel_per_shard_arrays_scale_down():
     """(a) of the north-star: per-shard node arrays are ~N/S rows."""
     from ptgnn_tpu.parallel.node_sharding import NodeParallel

@@ -86,7 +86,7 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--shards", type=int, nargs="*", default=[4, 8])
     ap.add_argument("--topology", choices=["random", "ast"], default="random")
-    ap.add_argument("--reorder", choices=["bfs", "none"], default="bfs")
+    ap.add_argument("--reorder", choices=["auto", "bfs", "none"], default="auto")
     args = ap.parse_args()
     reorder = None if args.reorder == "none" else args.reorder
 
