@@ -171,6 +171,11 @@ class AbstractMessagePassingLayer(Module):
     # (adjacency/recv buffer)? Layers that only use per-graph statistics
     # (GraphNorm) or all_gather their own view (global exchange) set this
     # False and the engine skips their boundary all_to_all entirely.
+    # CONTRACT for False-setting layers: the engine still hands them a
+    # merged ctx.adjacency whose boundary senders point at a ZEROED recv
+    # buffer (gnn.py node-sharded stack) — a False layer must therefore not
+    # read ctx.adjacency or ctx.node_sharding.recv at all, or it would
+    # silently aggregate zeros in place of real cross-shard features.
     needs_boundary_exchange: bool = True
 
     def apply(

@@ -41,11 +41,22 @@ def create_graph2seq_model(
     padding: Optional[BatchPadding] = None,
     max_seq_len: int = 8,
     token_vocabulary_size: int = 10000,
+    decoder_hidden_size: Optional[int] = None,
+    decoder_embedding_size: Optional[int] = None,
 ) -> Graph2Seq:
     """The reference architecture (graph2seq/train.py:54-107): token-vocab
     node embedder, 7 shared-weight GGNN layers + 1 fresh in a mean-residual
-    block, GRU copy decoder."""
+    block, GRU copy decoder.
+
+    Decoder dims default to the reference factory's ratio (hidden =
+    embedding_size, embedding = 2x), so the stock config is exactly the
+    reference's 128/256 and non-default widths scale coherently instead of
+    crashing against a hardcoded 128/256 decoder."""
     padding = padding if padding is not None else g2s_padding()
+    if decoder_hidden_size is None:
+        decoder_hidden_size = embedding_size
+    if decoder_embedding_size is None:
+        decoder_embedding_size = 2 * embedding_size
 
     def create_mp_layers(num_edges: int):
         ggnn_mp = GatedMessagePassingLayer(
@@ -82,8 +93,8 @@ def create_graph2seq_model(
             padding=padding,
         ),
         decoder=GruCopyingDecoderModel(
-            hidden_size=128,
-            embedding_size=256,
+            hidden_size=decoder_hidden_size,
+            embedding_size=decoder_embedding_size,
             memories_hidden_dim=embedding_size,
             max_seq_len=max_seq_len,
         ),

@@ -568,7 +568,15 @@ class NodeParallel:
     """Train-step builder partitioning one batch's NODES (and their incoming
     edges) across a mesh axis. Parameters and the task head stay replicated;
     per layer each shard exchanges only boundary sender features. See the
-    module docstring for the design."""
+    module docstring for the design.
+
+    With ``data_axis`` set the mesh is 2D (data x node): each data row holds
+    one independently node-sharded minibatch, gradients/loss/metrics are
+    weighted-psum'd over the data axis (exactly parallel/dp.py semantics,
+    padding groups carry weight 0), the boundary all_to_all stays confined
+    to the node axis, and ``zero1=True`` shards the optimizer moments over
+    the data axis. This is BASELINE.json configs[4]'s shape: data-parallel
+    across batches, node-parallel within each batch."""
 
     def __init__(
         self,
@@ -577,28 +585,51 @@ class NodeParallel:
         mesh,
         *,
         axis: str = "node",
+        data_axis: Optional[str] = None,
         enable_amp: bool = False,
-        boundary_budget: int,
-        interior_slots: int,
-        boundary_slots: int,
+        zero1: bool = False,
+        boundary_budget: int = 0,
+        interior_slots: int = 0,
+        boundary_slots: int = 0,
         reorder: Optional[str] = "auto",
     ):
         self.module = module
         self.optimizer = optimizer
         self.mesh = mesh
         self.axis = axis
+        self.data_axis = data_axis
         self.enable_amp = enable_amp
+        self.zero1 = zero1
         self.num_shards = mesh.shape[axis]
-        self.boundary_budget = boundary_budget
-        self.interior_slots = interior_slots
-        self.boundary_slots = boundary_slots
+        self.data_size = mesh.shape[data_axis] if data_axis is not None else 1
+        self.set_budgets(
+            boundary_budget=boundary_budget,
+            interior_slots=interior_slots,
+            boundary_slots=boundary_slots,
+        )
         self.reorder = reorder
         gnn = getattr(module, "gnn", None) or getattr(module, "_gnn", None)
         assert gnn is not None, "NodeParallel needs a module exposing .gnn"
         gnn.node_partition_axis = axis
         self._gnn = gnn
 
+    def set_budgets(self, *, boundary_budget: int, interior_slots: int,
+                    boundary_slots: int) -> None:
+        """Budgets may be set after construction (the trainer probes them
+        from the first batches of the run, see NodeShardedModelTrainer)."""
+        self.boundary_budget = boundary_budget
+        self.interior_slots = interior_slots
+        self.boundary_slots = boundary_slots
+
+    @property
+    def has_budgets(self) -> bool:
+        return self.interior_slots > 0 and self.boundary_slots > 0
+
     def shard_batch(self, minibatch: Dict[str, Any]) -> Dict[str, Any]:
+        assert self.has_budgets, (
+            "node-sharding budgets are unset; call set_budgets (or probe "
+            "with suggest_budgets) before sharding batches"
+        )
         sharded, self.last_stats = shard_batch_by_nodes(
             minibatch,
             self.num_shards,
@@ -609,86 +640,326 @@ class NodeParallel:
         )
         return sharded
 
-    def _specs(self, example_sharded_mb):
+    def _specs(self, example_sharded_mb, with_data_axis: bool = False):
+        """PartitionSpec tree for one node-sharded minibatch; with
+        ``with_data_axis`` every spec gains the leading data dimension (the
+        stacked [D, ...] group layout)."""
         from jax.sharding import PartitionSpec as P
 
+        lead = (self.data_axis,) if with_data_axis else ()
+
         def spec_tree(mb):
-            rest = jax.tree_util.tree_map(lambda x: P(), mb)
+            rest = jax.tree_util.tree_map(lambda x: P(*lead), mb)
             batch = mb["batch"]
-            shard = lambda t: jax.tree_util.tree_map(lambda x: P(self.axis), t)
+            shard = lambda t: jax.tree_util.tree_map(
+                lambda x: P(*lead, self.axis), t
+            )
             ns_spec = rest["batch"].node_sharding._replace(
                 adjacency_bnd=shard(batch.node_sharding.adjacency_bnd),
-                send_idx=P(self.axis),
-                boundary_counts=P(self.axis),
+                send_idx=P(*lead, self.axis),
+                boundary_counts=P(*lead, self.axis),
             )
             rest["batch"] = rest["batch"]._replace(
                 node_data=shard(batch.node_data),
                 adjacency=shard(batch.adjacency),
-                node_graph=P(self.axis),
-                node_mask=P(self.axis),
+                node_graph=P(*lead, self.axis),
+                node_mask=P(*lead, self.axis),
                 node_sharding=ns_spec,
             )
             return rest
 
         return spec_tree(example_sharded_mb)
 
+    @staticmethod
+    def _cast(tree, dtype):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            tree,
+        )
+
+    def _delead_node(self, sharded_mb):
+        """Strip the per-shard leading [1] the shard_map hands each device."""
+
+        def delead(t):
+            return jax.tree_util.tree_map(
+                lambda x: None if x is None else x[0], t
+            )
+
+        batch = sharded_mb["batch"]
+        ns = batch.node_sharding
+        batch = batch._replace(
+            node_data=delead(batch.node_data),
+            adjacency=delead(batch.adjacency),
+            node_graph=batch.node_graph[0],
+            node_mask=batch.node_mask[0],
+            node_sharding=ns._replace(
+                adjacency_bnd=delead(ns.adjacency_bnd),
+                send_idx=ns.send_idx[0],
+                boundary_counts=ns.boundary_counts[0],
+            ),
+        )
+        return {**sharded_mb, "batch": batch}
+
+    def _per_shard_loss(self, params, sharded_mb, rng, train: bool):
+        mb = self._delead_node(sharded_mb)
+        if self.enable_amp:
+            params = self._cast(params, jnp.bfloat16)
+            mb = self._cast(mb, jnp.bfloat16)
+        loss, metrics = self.module.apply(params, **mb, train=train, rng=rng)
+        return loss.astype(jnp.float32), metrics
+
     def build_train_step(self, example_sharded_mb):
+        """Single-axis (node-only) step over ONE sharded minibatch — the
+        library primitive the parity tests drive. The trainer path (data x
+        node groups, weights, lr schedules) is build_trainer_steps."""
         from jax.sharding import PartitionSpec as P
 
         import optax
 
         from ptgnn_tpu.parallel.dp import _shard_map
 
-        module = self.module
         optimizer = self.optimizer
-
-        def _cast(tree, dtype):
-            return jax.tree_util.tree_map(
-                lambda x: x.astype(dtype)
-                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-                else x,
-                tree,
-            )
-
-        def per_shard_loss(params, sharded_mb, rng):
-            def delead(t):
-                return jax.tree_util.tree_map(
-                    lambda x: None if x is None else x[0], t
-                )
-
-            batch = sharded_mb["batch"]
-            ns = batch.node_sharding
-            batch = batch._replace(
-                node_data=delead(batch.node_data),
-                adjacency=delead(batch.adjacency),
-                node_graph=batch.node_graph[0],
-                node_mask=batch.node_mask[0],
-                node_sharding=ns._replace(
-                    adjacency_bnd=delead(ns.adjacency_bnd),
-                    send_idx=ns.send_idx[0],
-                    boundary_counts=ns.boundary_counts[0],
-                ),
-            )
-            mb = {**sharded_mb, "batch": batch}
-            if self.enable_amp:
-                params = _cast(params, jnp.bfloat16)
-                mb = _cast(mb, jnp.bfloat16)
-            loss, metrics = module.apply(params, **mb, train=True, rng=rng)
-            return loss.astype(jnp.float32), metrics
 
         in_specs = (P(), self._specs(example_sharded_mb), P())
         sharded_loss = _shard_map(
-            per_shard_loss, mesh=self.mesh, in_specs=in_specs,
-            out_specs=(P(), P()),
+            lambda p, mb, rng: self._per_shard_loss(p, mb, rng, True),
+            mesh=self.mesh, in_specs=in_specs, out_specs=(P(), P()),
         )
 
         def train_step(params, opt_state, sharded_mb, rng):
             (loss, metrics), grads = jax.value_and_grad(
                 lambda p: sharded_loss(p, sharded_mb, rng), has_aux=True
             )(params)
-            grads = _cast(grads, jnp.float32)
+            grads = self._cast(grads, jnp.float32)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, metrics
 
         return jax.jit(train_step, donate_argnums=(0, 1))
+
+    # -- trainer interface (DataParallel-compatible, parallel/dp.py) -------
+    def replicated(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return NamedSharding(self.mesh, P())
+
+    @property
+    def num_local_devices(self) -> int:
+        """DATA-group slots this process feeds per step (1 when there is no
+        data axis: every host cooperates on the same node-sharded batch)."""
+        if self.data_axis is None:
+            return 1
+        local = sum(
+            1 for d in self.mesh.devices.flat
+            if d.process_index == jax.process_index()
+        )
+        return max(1, local // self.num_shards)
+
+    def _put(self, tree, sharding_tree):
+        if jax.process_count() == 1:
+            return jax.device_put(tree, sharding_tree)
+        if not isinstance(sharding_tree, (list, tuple, dict)) and not hasattr(
+            sharding_tree, "_fields"
+        ):
+            sharding_tree = jax.tree_util.tree_map(
+                lambda _: sharding_tree, tree
+            )
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.make_array_from_process_local_data(s, np.asarray(x)),
+            tree, sharding_tree,
+        )
+
+    def device_put_params(self, params):
+        return self._put(params, self.replicated())
+
+    def device_put_batch(self, stacked_group):
+        """Place one stacked [D, ...] group of node-sharded minibatches with
+        its (data, node) shardings."""
+        from jax.sharding import NamedSharding
+
+        specs = self._specs(
+            jax.tree_util.tree_map(lambda x: x, stacked_group),
+            with_data_axis=self.data_axis is not None,
+        )
+        shardings = jax.tree_util.tree_map(
+            lambda s: NamedSharding(self.mesh, s), specs,
+            is_leaf=lambda x: isinstance(x, type(specs["batch"].node_graph)),
+        )
+        return self._put(stacked_group, shardings)
+
+    def device_put_weights(self, weights):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P(self.data_axis) if self.data_axis is not None else P()
+        return self._put(
+            np.asarray(weights, np.float32), NamedSharding(self.mesh, spec)
+        )
+
+    def init_opt_state(self, params):
+        """Moments in their target shardings from the start (ZeRO-1 over the
+        data axis when enabled; replicated otherwise)."""
+        if jax.process_count() > 1:
+            shape = jax.eval_shape(self.optimizer.init, params)
+            shardings = (
+                self._zero1_opt_sharding(shape)
+                if self._use_zero1
+                else jax.tree_util.tree_map(lambda _: self.replicated(), shape)
+            )
+            return jax.jit(self.optimizer.init, out_shardings=shardings)(params)
+        opt_state = self.optimizer.init(params)
+        if not self._use_zero1:
+            return jax.device_put(opt_state, self.replicated())
+        return jax.device_put(opt_state, self._zero1_opt_sharding(opt_state))
+
+    @property
+    def _use_zero1(self) -> bool:
+        return self.zero1 and self.data_axis is not None and self.data_size > 1
+
+    def _zero1_opt_sharding(self, opt_state):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def leaf_sharding(leaf):
+            if (
+                hasattr(leaf, "ndim") and leaf.ndim >= 1
+                and leaf.shape[0] > 0
+                and leaf.shape[0] % self.data_size == 0
+            ):
+                return NamedSharding(self.mesh, P(self.data_axis))
+            return self.replicated()
+
+        return jax.tree_util.tree_map(leaf_sharding, opt_state)
+
+    def _build_group_grads_fn(self, example_stacked_group):
+        """shard_map over (data x node): per data row, node-cooperative loss
+        and grads; weighted psum over data (weight 0 = padding group)."""
+        from jax.sharding import PartitionSpec as P
+
+        from ptgnn_tpu.parallel.dp import _shard_map
+
+        daxis = self.data_axis
+
+        def per_device(params, group_mb, rng, w):
+            if daxis is not None:
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(daxis))
+                group_mb = jax.tree_util.tree_map(
+                    lambda x: None if x is None else x[0], group_mb
+                )
+            (loss, metrics), grads = jax.value_and_grad(
+                lambda p: self._per_shard_loss(p, group_mb, rng, True),
+                has_aux=True,
+            )(params)
+            grads = self._cast(grads, jnp.float32)
+            if daxis is not None:
+                w = w.reshape(())
+                wsum = jnp.maximum(jax.lax.psum(w, daxis), 1e-9)
+                grads = jax.tree_util.tree_map(
+                    lambda g: jax.lax.psum(g * w, daxis) / wsum, grads
+                )
+                loss = jax.lax.psum(loss * w, daxis) / wsum
+                metrics = jax.tree_util.tree_map(
+                    lambda m: jax.lax.psum(m, daxis), metrics
+                )
+            return grads, loss, metrics
+
+        with_data = daxis is not None
+        in_specs = (
+            P(),
+            self._specs(example_stacked_group, with_data_axis=with_data),
+            P(),
+            P(daxis) if with_data else P(),
+        )
+        return _shard_map(
+            per_device, mesh=self.mesh, in_specs=in_specs,
+            out_specs=(P(), P(), P()),
+        )
+
+    def build_trainer_steps(self):
+        """Returns (train_step, eval_step) matching DataParallel's trainer
+        protocol:
+
+          train_step(params, opt_state, stacked_group, rng, lr_factor,
+                     weights) -> (params, opt_state, loss, metrics)
+          eval_step(params, stacked_group, weights) -> (loss, metrics, wsum)
+
+        ``stacked_group`` is [D] node-sharded minibatches stacked on a
+        leading data axis (D == 1 arrays without the leading axis when
+        data_axis is None). Compilation is lazy: specs derive from the first
+        group's tree, so budgets may be probed at epoch start."""
+        import optax
+
+        from jax.sharding import PartitionSpec as P
+
+        from ptgnn_tpu.parallel.dp import _shard_map
+
+        optimizer = self.optimizer
+        state = {"train": None, "eval": None}
+
+        def build_train(example_group):
+            grads_fn = self._build_group_grads_fn(example_group)
+
+            def train_step(params, opt_state, group, rng, lr_factor, weights):
+                grads, loss, metrics = grads_fn(params, group, rng, weights)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                updates = jax.tree_util.tree_map(
+                    lambda u: u * lr_factor, updates
+                )
+                params = optax.apply_updates(params, updates)
+                if self._use_zero1:
+                    params = jax.lax.with_sharding_constraint(
+                        params, self.replicated()
+                    )
+                    opt_state = jax.lax.with_sharding_constraint(
+                        opt_state, self._zero1_opt_sharding(opt_state)
+                    )
+                return params, opt_state, loss, metrics
+
+            return jax.jit(train_step, donate_argnums=(0, 1))
+
+        def build_eval(example_group):
+            daxis = self.data_axis
+
+            def per_device_eval(params, group_mb, w):
+                if daxis is not None:
+                    group_mb = jax.tree_util.tree_map(
+                        lambda x: None if x is None else x[0], group_mb
+                    )
+                loss, metrics = self._per_shard_loss(params, group_mb, None, False)
+                if daxis is None:
+                    return loss, metrics, jnp.asarray(1.0, jnp.float32)
+                w = w.reshape(())
+                wsum_raw = jax.lax.psum(w, daxis)
+                wsum = jnp.maximum(wsum_raw, 1e-9)
+                loss = jax.lax.psum(loss * w, daxis) / wsum
+                metrics = jax.tree_util.tree_map(
+                    lambda m: jax.lax.psum(m, daxis), metrics
+                )
+                return loss, metrics, wsum_raw
+
+            with_data = daxis is not None
+            in_specs = (
+                P(),
+                self._specs(example_group, with_data_axis=with_data),
+                P(daxis) if with_data else P(),
+            )
+            return jax.jit(_shard_map(
+                per_device_eval, mesh=self.mesh, in_specs=in_specs,
+                out_specs=(P(), P(), P()),
+            ))
+
+        def train_step(params, opt_state, group, rng, lr_factor, weights=None):
+            if weights is None:
+                weights = jnp.ones((self.data_size,), jnp.float32)
+            if state["train"] is None:
+                state["train"] = build_train(group)
+            return state["train"](params, opt_state, group, rng, lr_factor, weights)
+
+        def eval_step(params, group, weights=None):
+            if weights is None:
+                weights = jnp.ones((self.data_size,), jnp.float32)
+            if state["eval"] is None:
+                state["eval"] = build_eval(group)
+            return state["eval"](params, group, weights)
+
+        return train_step, eval_step

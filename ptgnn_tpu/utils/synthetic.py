@@ -54,7 +54,9 @@ def _ast_like_edges(rng, n: int, token_len: int, edges_per_node: float):
     # long-range, sized so the total edge budget matches the random mode.
     remaining = max(0, int(edges_per_node * n) - (token_len - 1) - (n - 1))
     for et in ("OCCURRENCE_OF", "COMPUTED_FROM", "RETURNS_TO"):
-        num_e = rng.poisson(max(1, remaining // 3))
+        # remaining == 0: the chain+tree already consume the whole
+        # edges_per_node budget, so no semantic edges are drawn
+        num_e = rng.poisson(remaining // 3) if remaining else 0
         if num_e == 0 or n < 2:
             continue
         src = rng.randint(0, n, num_e)
@@ -143,12 +145,24 @@ def synthetic_graph2seq_samples(
     name_len: int = 3,
 ):
     """CodeGraph2Seq-schema samples (reference graph2seq.py:24-29): labeled
-    nodes, typed edges, a backbone token sequence, and a method name whose
-    tokens are drawn from the backbone labels (so copying carries signal)."""
+    nodes, typed edges, a backbone token sequence, and a method name the
+    graph structure actually DETERMINES: node 0 is a fixed-label root and
+    points at the name's source nodes over a dedicated ``RETURNS_TO`` edge
+    family, so message passing can mark them and the copy attention can pick
+    them out. (A name drawn uniformly from backbone labels — the previous
+    design — is unlearnable beyond token priors: trained models plateaued
+    BELOW an untrained spray-the-backbone baseline on set-F1.)
+
+    Name tokens are lowercased because the Graph2Seq task model lowercases
+    node labels at tensorize time (reference graph2seq.py:97,126) — the
+    decoder's copy matching sees lowercase memories. With probability 0.2 a
+    fresh non-copyable token is appended so the vocab/UNK path stays
+    exercised."""
     rng = np.random.RandomState(seed)
     for _ in range(num_samples):
         n = int(np.clip(rng.poisson(mean_nodes), 12, max_nodes))
         node_labels = [_IDENTIFIERS[rng.randint(len(_IDENTIFIERS))] for _ in range(n)]
+        node_labels[0] = "method_root"
         edges: Dict[str, List] = {}
         for et in _EDGE_TYPES[:3]:
             num_e = rng.poisson(1.5 * n / 3)
@@ -158,15 +172,15 @@ def synthetic_graph2seq_samples(
                     for a, b in zip(rng.randint(0, n, num_e), rng.randint(0, n, num_e))
                 ]
         backbone = sorted(
-            rng.choice(n, size=max(2, int(n * backbone_fraction)), replace=False).tolist()
+            rng.choice(np.arange(1, n), size=max(2, int(n * backbone_fraction)),
+                       replace=False).tolist()
         )
-        # Method name: mostly backbone labels (copyable), sometimes fresh.
-        name = []
-        for _ in range(rng.randint(1, name_len + 1)):
-            if rng.rand() < 0.8:
-                name.append(node_labels[backbone[rng.randint(len(backbone))]].lower())
-            else:
-                name.append(_IDENTIFIERS[rng.randint(len(_IDENTIFIERS))].lower())
+        k = min(rng.randint(1, name_len + 1), len(backbone))
+        name_nodes = sorted(rng.choice(backbone, size=k, replace=False).tolist())
+        edges["RETURNS_TO"] = [(0, int(v)) for v in name_nodes]
+        name = [node_labels[v].lower() for v in name_nodes]
+        if rng.rand() < 0.2:
+            name.append(_IDENTIFIERS[rng.randint(len(_IDENTIFIERS))].lower())
         yield {
             "backbone_sequence": backbone,
             "node_labels": node_labels,

@@ -169,10 +169,13 @@ def test_graph2seq_f1_parity_with_reference():
     our_f1s = [train_ours(train, valid, seed=s) for s in SEEDS]
     ref_mean = float(np.mean(ref_f1s))
     our_mean = float(np.mean(our_f1s))
-    # 80% of name tokens are copyable from the backbone: a working copy
-    # mechanism clears this floor easily, a broken one cannot
-    assert ref_mean > 0.2, f"reference failed to learn (f1s={ref_f1s})"
-    assert min(our_f1s) > 0.2, f"ours failed to learn (f1s={our_f1s})"
+    # The synthetic name is structurally determined (root -> RETURNS_TO ->
+    # name nodes, utils/synthetic.py), so a working GNN+copy stack separates
+    # cleanly from a broken one. Calibration on this config: untrained
+    # params score ~0.24 (spraying backbone tokens), trained reference
+    # 0.725-0.741, trained ours 0.710-0.745 across seeds 0-2.
+    assert ref_mean > 0.5, f"reference failed to learn (f1s={ref_f1s})"
+    assert min(our_f1s) > 0.5, f"ours failed to learn (f1s={our_f1s})"
     assert our_mean >= ref_mean - 0.03, (
         f"ours {our_f1s} (mean {our_mean:.4f}) vs "
         f"reference {ref_f1s} (mean {ref_mean:.4f})"

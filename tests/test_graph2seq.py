@@ -34,13 +34,13 @@ def make_data(n, seed):
 
 @pytest.fixture(scope="module")
 def trained():
+    # embedding_size=32 derives the decoder at hidden 32 / embedding 64 (the
+    # factory keeps the reference ratio). 96 training samples give the brief
+    # run real margin over the 0.2 quality bar: measured jaro 0.48-0.50
+    # across trainer seeds 0-2 (vs 0.19-0.39 seed spread at 48 samples).
     model = create_graph2seq_model(
         embedding_size=32, padding=tiny_padding(), max_seq_len=6,
     )
-    # shrink the decoder for test speed
-    model.decoder_model.hidden_size = 32
-    model.decoder_model.embedding_size = 32
-    model.decoder_model.memories_hidden_dim = 32
     tmp = tempfile.mkdtemp()
     trainer = ModelTrainer(
         model,
@@ -51,7 +51,7 @@ def trained():
         clip_gradient_norm=1.0,
     )
     trainer.train(
-        make_data(48, seed=1),
+        make_data(96, seed=1),
         make_data(12, seed=2),
         validate_on_start=True,
         parallelize=False,
@@ -107,13 +107,14 @@ def test_decode_aligns_dropped_samples_as_none():
     model.compute_metadata(iter(data), parallelize=False)
     net = model.build_neural_module()
     params = net.init(jax.random.PRNGKey(0))
-    # shrink the cap so exactly sample 1 is dropped at tensorize time
-    model._Graph2Seq__gnn_model.max_nodes_per_graph = (
-        len(data[1]["node_labels"]) - 1
-    )
+    # shrink the cap so exactly the largest of the first 3 samples is
+    # dropped at tensorize time
+    sizes = [len(d["node_labels"]) for d in data[:3]]
+    big = max(range(3), key=lambda i: sizes[i])
+    model._Graph2Seq__gnn_model.max_nodes_per_graph = sizes[big] - 1
     res = model.greedy_decode(data[:3], params, net)
     assert len(res) == 3
-    assert res[1] is None or any(r is None for r in res)
+    assert res[big] is None
     kept = [r for r in res if r is not None]
     assert kept and all(isinstance(r, tuple) for r in kept)
 

@@ -126,7 +126,7 @@ def test_bfs_reorder_recovers_locality():
     need not expose it)."""
     _, batch = build_scrambled_chain_batch()
     _, stats_id = reshard(batch, reorder=None)
-    _, stats_bfs = reshard(batch)  # default reorder="bfs"
+    _, stats_bfs = reshard(batch)  # default reorder="auto" picks BFS here
     assert stats_bfs["boundary_nodes_total"] > 0  # chains still straddle
     assert (
         stats_bfs["boundary_nodes_total"]
