@@ -49,6 +49,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="number of local devices to use (default: all)")
     parser.add_argument("--no-zero1", action="store_true",
                         help="disable optimizer-state sharding")
+    parser.add_argument("--node-shards", type=int, default=None,
+                        help="partition each batch's NODES over this many "
+                             "devices (graphs larger than one chip become "
+                             "trainable); remaining devices form the data "
+                             "axis of a (data, node) mesh")
+    parser.add_argument("--node-budget-headroom", type=float, default=1.5,
+                        help="safety factor applied to the node-sharding "
+                             "budgets probed from the first batches")
     # multi-host rendezvous (jax.distributed)
     parser.add_argument("--coordinator", type=str, default=None)
     parser.add_argument("--num-processes", type=int, default=None)
@@ -75,10 +83,22 @@ def run(args: argparse.Namespace) -> None:
             "--world-size selects LOCAL devices and is single-host only; "
             "under --coordinator the mesh spans all hosts' devices"
         )
-        mesh = default_data_mesh()
+        num_devices = None
     else:
-        mesh = default_data_mesh(args.world_size)
-    logging.info("Data mesh over %s devices (%s).", mesh.shape["data"], jax.devices())
+        num_devices = args.world_size
+    if args.node_shards is not None:
+        from ptgnn_tpu.parallel.node_sharded_trainer import node_data_mesh
+
+        mesh = node_data_mesh(args.node_shards, num_devices)
+        logging.info(
+            "Hybrid mesh: %s data x %s node shards (%s).",
+            mesh.shape["data"], mesh.shape["node"], jax.devices(),
+        )
+    else:
+        mesh = default_data_mesh(num_devices)
+        logging.info(
+            "Data mesh over %s devices (%s).", mesh.shape["data"], jax.devices()
+        )
 
     # Per-host file interleaving (reference: traindistributed.py:37-47).
     rank = args.process_id or 0
@@ -116,9 +136,7 @@ def run(args: argparse.Namespace) -> None:
         lambda: load_from_folder(args.train_data_path, shuffle=False)
     )
 
-    trainer = DistributedModelTrainer(
-        model,
-        model_path,
+    trainer_kwargs = dict(
         mesh=mesh,
         zero1=not args.no_zero1,
         max_num_epochs=args.max_num_epochs,
@@ -129,6 +147,17 @@ def run(args: argparse.Namespace) -> None:
         target_validation_metric_higher_is_better=True,
         enable_amp=args.amp,
     )
+    if args.node_shards is not None:
+        from ptgnn_tpu.parallel.node_sharded_trainer import NodeShardedModelTrainer
+
+        trainer = NodeShardedModelTrainer(
+            model, model_path,
+            node_shards=args.node_shards,
+            budget_headroom=args.node_budget_headroom,
+            **trainer_kwargs,
+        )
+    else:
+        trainer = DistributedModelTrainer(model, model_path, **trainer_kwargs)
     if params is not None:
         trainer.neural_module = model.build_neural_module()
         trainer.params = params

@@ -223,10 +223,33 @@ class DistributedModelTrainer(ModelTrainer):
             )
         return self._empty_minibatch_template
 
+    # Grouping hooks, overridable by sibling trainers (the node-sharded
+    # trainer reshards each minibatch and may skip over-budget ones).
+    def _prepare_minibatch(self, mb_data) -> Optional[Dict[str, Any]]:
+        """Per-minibatch transform before grouping; None skips the batch."""
+        return mb_data
+
+    def _group_slots_per_host(self) -> int:
+        """How many prepared minibatches form one local step group."""
+        return self.num_local_devices
+
+    def _stack_group(self, group: List[Dict[str, Any]]) -> Dict[str, Any]:
+        return stack_minibatches(group)
+
+    def _empty_prepared_minibatch(self) -> Dict[str, Any]:
+        prepared = self._prepare_minibatch(self._empty_minibatch())
+        assert prepared is not None, "the empty padding batch must be preparable"
+        return prepared
+
+    def _empty_stacked_group(self) -> Dict[str, Any]:
+        return self._stack_group(
+            [self._empty_prepared_minibatch()] * self._group_slots_per_host()
+        )
+
     def _group_minibatches(self, minibatch_iterator):
-        """Yield (stacked group of num_LOCAL_devices minibatches, raw sample
-        lists, per-local-device real-sample weights). Padding batches get
-        weight 0 so the weighted psum in parallel/dp.py ignores them.
+        """Yield (stacked group of per-host minibatches, raw sample lists,
+        per-slot real-sample weights). Padding batches get weight 0 so the
+        weighted psum in parallel/dp.py ignores them.
 
         Multi-host: every process must execute the same number of steps
         (SPMD collectives). After each local group, hosts agree via a tiny
@@ -234,24 +257,27 @@ class DistributedModelTrainer(ModelTrainer):
         feeding fully masked empty groups — the reference's
         DDP.join(throw_on_early_termination) semantics
         (distributedtrainer.py:55) without dynamic teardown."""
-        per_host = self.num_local_devices
+        per_host = self._group_slots_per_host()
 
         def local_groups():
             group: List[Dict[str, Any]] = []
             raw: List[Any] = []
             counts: List[float] = []
             for mb_data, raw_samples in minibatch_iterator:
-                group.append(mb_data)
+                prepared = self._prepare_minibatch(mb_data)
+                if prepared is None:
+                    continue
+                group.append(prepared)
                 raw.extend(raw_samples)
                 counts.append(float(len(raw_samples)))
                 if len(group) == per_host:
-                    yield stack_minibatches(group), raw, np.asarray(counts, np.float32)
+                    yield self._stack_group(group), raw, np.asarray(counts, np.float32)
                     group, raw, counts = [], [], []
             if group:
                 while len(group) < per_host:
-                    group.append(self._empty_minibatch())
+                    group.append(self._empty_prepared_minibatch())
                     counts.append(0.0)
-                yield stack_minibatches(group), raw, np.asarray(counts, np.float32)
+                yield self._stack_group(group), raw, np.asarray(counts, np.float32)
 
         if jax.process_count() == 1:
             yield from local_groups()
@@ -270,9 +296,7 @@ class DistributedModelTrainer(ModelTrainer):
                 return
             if item is None:
                 if empty_group is None:
-                    empty_group = stack_minibatches(
-                        [self._empty_minibatch()] * per_host
-                    )
+                    empty_group = self._empty_stacked_group()
                 yield empty_group, [], np.zeros(per_host, np.float32)
             else:
                 yield item

@@ -14,9 +14,13 @@ message-passing layer becomes
 
 Because the layout's tiles are type- and row-block-pure, any contiguous cut
 at tile granularity keeps every shard a valid mini-layout; the batcher needs
-no changes — shards are views. Combined with the ``data`` axis this gives a
-2D mesh: data-parallel across batches, edge-parallel within a batch, so
-graphs ~N× one chip's edge budget become trainable instead of dropped.
+no changes — shards are views. The hybrid data x model 2D mesh (data-
+parallel across batches, model-parallel within one) is implemented in its
+node-sharded form: ``NodeParallel(data_axis=...)`` and
+``NodeShardedModelTrainer`` (parallel/node_sharding.py,
+parallel/node_sharded_trainer.py) — preferred over edge sharding for that
+composition because node sharding also splits the node arrays and
+exchanges only boundary rows.
 
 Partial-aggregate semantics across shards:
 * sum/mean: local masked segment_sum, psum; mean divides by global counts;
@@ -194,8 +198,11 @@ class EdgeParallel:
 
     Node states, parameters, and all non-edge batch fields are replicated
     along the axis; each layer's aggregation performs one collective
-    (parallel/edge_sharding.sharded_aggregate). Composes with the data axis
-    as a 2D mesh for data x edge parallelism.
+    (parallel/edge_sharding.sharded_aggregate). For the hybrid data x model
+    2D mesh, use NodeParallel(data_axis=...) / NodeShardedModelTrainer
+    (parallel/node_sharding.py, parallel/node_sharded_trainer.py) — the
+    node-sharded form supersedes edge sharding there because it also shards
+    the node arrays and exchanges only boundary rows.
     """
 
     def __init__(self, module, optimizer, mesh, *, axis: str = "edge",

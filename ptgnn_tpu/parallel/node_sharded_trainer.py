@@ -1,0 +1,243 @@
+"""Node-sharded (and hybrid data x node) model trainer.
+
+Makes the north-star partitioning (parallel/node_sharding.py) a training
+MODE instead of a hand-driven library primitive: real epochs, validation,
+early stopping, best-checkpoint restore, optimizer-state checkpoints — the
+full ModelTrainer lifecycle — with each minibatch's nodes partitioned over a
+``node`` mesh axis and (optionally) independent minibatches data-parallel
+over a ``data`` axis. The reference exposes its only distribution mode
+through a CLI (ptgnn/implementations/typilus/traindistributed.py:107-171);
+this trainer goes beyond it: the reference DROPS graphs bigger than one
+device (graphneuralnetwork.py:328-330), here they train across the mesh.
+
+Lifecycle pieces this adds over the raw ``NodeParallel`` step builder:
+
+* **Budget auto-probe**: the static per-shard edge-slot/boundary budgets are
+  measured over the first K minibatches of the run (``suggest_budgets``)
+  with a headroom factor, then frozen so every later batch compiles into the
+  same program. Multi-host runs max-reduce the probed budgets so all hosts
+  compile identical shapes.
+* **Over-budget fallback**: a mid-epoch batch that exceeds the frozen
+  budgets is NOT fatal — with ``reorder=None`` it is retried under the BFS
+  locality renumbering; if it still does not fit it is skipped with a
+  warning (mirroring the reference's graph-size-cap drop semantics, but per
+  batch and observable).
+* **Exchange observability**: per-epoch totals of boundary rows exchanged,
+  per-batch maxima, and skip counts are logged instead of overwriting a
+  single ``last_stats``.
+"""
+from __future__ import annotations
+
+import itertools
+import logging
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+from ptgnn_tpu.parallel.distributed_trainer import DistributedModelTrainer
+from ptgnn_tpu.parallel.node_sharding import (
+    BoundaryBudgetError,
+    NodeParallel,
+    shard_batch_by_nodes,
+    suggest_budgets,
+)
+
+
+def node_data_mesh(node_shards: int, num_devices: Optional[int] = None) -> Mesh:
+    """A (data, node) mesh over the available devices: ``node_shards``
+    devices cooperate on each batch, the rest replicate data-parallel."""
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    n = len(devices)
+    assert n % node_shards == 0, (
+        f"{n} devices do not divide into node groups of {node_shards}"
+    )
+    return Mesh(
+        np.asarray(devices).reshape(n // node_shards, node_shards),
+        ("data", "node"),
+    )
+
+
+class NodeShardedModelTrainer(DistributedModelTrainer):
+    """DistributedModelTrainer whose step partitions each minibatch's nodes
+    over the ``node`` mesh axis (gradients psum over ``data``; boundary
+    sender features all_to_all over ``node``; ZeRO-1 moments over ``data``)."""
+
+    LOGGER = logging.getLogger(__name__)
+
+    def __init__(
+        self,
+        *args,
+        node_shards: int,
+        mesh: Optional[Mesh] = None,
+        zero1: bool = True,
+        budgets: Optional[Dict[str, int]] = None,
+        budget_probe_batches: int = 8,
+        budget_headroom: float = 1.5,
+        reorder: Optional[str] = "auto",
+        **kwargs,
+    ):
+        mesh = mesh if mesh is not None else node_data_mesh(node_shards)
+        assert mesh.shape["node"] == node_shards, (mesh.shape, node_shards)
+        super().__init__(*args, mesh=mesh, zero1=zero1, **kwargs)
+        assert self._grad_accum_steps == 1, (
+            "gradient accumulation under node sharding is not implemented; "
+            "raise the data axis or per-batch budgets instead"
+        )
+        self.node_shards = node_shards
+        self.data_size = mesh.shape.get("data", 1)
+        self._budgets = dict(budgets) if budgets else None
+        self._budget_probe_batches = budget_probe_batches
+        self._budget_headroom = budget_headroom
+        self._reorder = reorder
+        self._np: Optional[NodeParallel] = None
+        self._epoch_shard_stats = self._fresh_stats()
+
+    # ------------------------------------------------------------------
+    @property
+    def num_devices(self) -> int:
+        return self.data_size * self.node_shards
+
+    def _build_step_functions(self, optimizer):
+        padding_nodes = None
+        gnn_model = getattr(self.model, "gnn_model", None)
+        if gnn_model is not None and hasattr(gnn_model, "padding"):
+            padding_nodes = gnn_model.padding.max_nodes
+        if padding_nodes is not None:
+            assert padding_nodes % self.node_shards == 0, (
+                f"padding.max_nodes ({padding_nodes}) must divide evenly "
+                f"into {self.node_shards} node shards"
+            )
+        self._np = NodeParallel(
+            self.neural_module,
+            optimizer,
+            self._mesh,
+            axis="node",
+            data_axis="data" if self.data_size > 1 else None,
+            enable_amp=self._enable_amp,
+            zero1=self._zero1,
+            reorder=self._reorder,
+        )
+        if self._budgets is not None:
+            self._np.set_budgets(**self._budgets)
+        self._dp = self._np  # the DataParallel-compatible facade the base
+        # trainer's device placement / opt-state / globalize paths drive
+        train_step, eval_step = self._np.build_trainer_steps()
+        self._train_step_fn = train_step
+        self._eval_step_fn = eval_step
+
+    # -- budget probing -----------------------------------------------------
+    def _probe_budgets(self, head: List[Any]) -> Dict[str, int]:
+        budgets = suggest_budgets(
+            [mb for mb, _ in head], self.node_shards, reorder=self._reorder
+        )
+        # Headroom-padded slot counts must stay multiples of the layout's
+        # SUPER-TILE size (tile * row-block group), not just the tile — the
+        # per-shard layout assembly groups tiles into row blocks.
+        align = 128
+        if head:
+            adj = head[0][0]["batch"].adjacency
+            align = adj.edge_tile
+            if adj.super_tile_row_blocks is not None:
+                align = adj.senders.shape[0] // adj.super_tile_row_blocks.shape[0]
+        ceil_to = lambda n, k: -(-max(int(n), 1) // k) * k
+        h = self._budget_headroom
+        budgets = {
+            "boundary_budget": ceil_to(budgets["boundary_budget"] * h, 8),
+            "interior_slots": ceil_to(budgets["interior_slots"] * h, align),
+            "boundary_slots": ceil_to(budgets["boundary_slots"] * h, align),
+        }
+        if jax.process_count() > 1:
+            # All hosts must compile identical static shapes: agree on the
+            # elementwise max of every host's probed budgets.
+            from jax.experimental import multihost_utils
+
+            keys = sorted(budgets)
+            local = np.asarray([budgets[k] for k in keys], np.int64)
+            all_vals = multihost_utils.process_allgather(local)
+            budgets = {
+                k: int(v) for k, v in zip(keys, np.max(all_vals, axis=0))
+            }
+        return budgets
+
+    def _ensure_budgets(self, minibatch_iterator):
+        if self._np.has_budgets:
+            return minibatch_iterator
+        head = list(
+            itertools.islice(minibatch_iterator, self._budget_probe_batches)
+        )
+        assert head, "no minibatches available to probe node-sharding budgets"
+        self._budgets = self._probe_budgets(head)
+        self._np.set_budgets(**self._budgets)
+        self.LOGGER.info(
+            "Node-sharding budgets probed over %d batches (headroom %.2fx): %s",
+            len(head), self._budget_headroom, self._budgets,
+        )
+        return itertools.chain(head, minibatch_iterator)
+
+    # -- grouping hooks (see DistributedModelTrainer._group_minibatches) ----
+    def _fresh_stats(self) -> Dict[str, float]:
+        return {"batches": 0, "skipped": 0, "boundary_rows": 0,
+                "boundary_rows_max": 0}
+
+    def _prepare_minibatch(self, mb_data) -> Optional[Dict[str, Any]]:
+        """Reshard one finalized minibatch; over-budget batches fall back to
+        the BFS renumbering (when not already in play), then skip-with-log."""
+        try:
+            sharded = self._np.shard_batch(mb_data)
+        except BoundaryBudgetError as exc:
+            if self._reorder is None:
+                try:
+                    sharded, self._np.last_stats = shard_batch_by_nodes(
+                        mb_data, self.node_shards, reorder="bfs",
+                        **self._budgets,
+                    )
+                    self._note_stats(self._np.last_stats)
+                    return sharded
+                except BoundaryBudgetError as exc2:
+                    exc = exc2
+            self._epoch_shard_stats["skipped"] += 1
+            self.LOGGER.warning(
+                "Skipping a minibatch that exceeds the frozen node-sharding "
+                "budgets (%s); re-run with larger --node-budget-headroom or "
+                "explicit budgets to include it.", exc,
+            )
+            return None
+        self._note_stats(self._np.last_stats)
+        return sharded
+
+    def _note_stats(self, stats: Dict[str, Any]) -> None:
+        s = self._epoch_shard_stats
+        s["batches"] += 1
+        s["boundary_rows"] += stats["boundary_nodes_total"]
+        s["boundary_rows_max"] = max(
+            s["boundary_rows_max"], stats["boundary_nodes_total"]
+        )
+
+    def _group_slots_per_host(self) -> int:
+        return self._np.num_local_devices
+
+    def _stack_group(self, group: List[Dict[str, Any]]) -> Dict[str, Any]:
+        if self._np.data_axis is None:
+            assert len(group) == 1
+            return group[0]
+        return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *group)
+
+    def _group_minibatches(self, minibatch_iterator):
+        minibatch_iterator = self._ensure_budgets(minibatch_iterator)
+        try:
+            yield from super()._group_minibatches(minibatch_iterator)
+        finally:
+            s = self._epoch_shard_stats
+            if s["batches"] or s["skipped"]:
+                self.LOGGER.info(
+                    "Node-sharding epoch stats: %d batches over %d shards, "
+                    "%d boundary rows exchanged/layer total (max %d/batch), "
+                    "%d batches skipped over budget.",
+                    s["batches"], self.node_shards, s["boundary_rows"],
+                    s["boundary_rows_max"], s["skipped"],
+                )
+            self._epoch_shard_stats = self._fresh_stats()

@@ -780,12 +780,10 @@ class NodeParallel:
         from jax.sharding import NamedSharding
 
         specs = self._specs(
-            jax.tree_util.tree_map(lambda x: x, stacked_group),
-            with_data_axis=self.data_axis is not None,
+            stacked_group, with_data_axis=self.data_axis is not None
         )
         shardings = jax.tree_util.tree_map(
-            lambda s: NamedSharding(self.mesh, s), specs,
-            is_leaf=lambda x: isinstance(x, type(specs["batch"].node_graph)),
+            lambda s: NamedSharding(self.mesh, s), specs
         )
         return self._put(stacked_group, shardings)
 
@@ -831,9 +829,14 @@ class NodeParallel:
 
         return jax.tree_util.tree_map(leaf_sharding, opt_state)
 
-    def _build_group_grads_fn(self, example_stacked_group):
-        """shard_map over (data x node): per data row, node-cooperative loss
-        and grads; weighted psum over data (weight 0 = padding group)."""
+    def _build_group_loss_fn(self, example_stacked_group):
+        """shard_map over (data x node) returning the data-weighted mean
+        loss (weight 0 = padding group) and data-summed metrics. Gradients
+        are taken OUTSIDE this shard_map (build_trainer_steps): shard_map's
+        transpose accumulates per-device cotangents into the correct global
+        gradient — the same pattern as build_train_step; per-device
+        value_and_grad inside the map would double-count the node-replicated
+        head contributions."""
         from jax.sharding import PartitionSpec as P
 
         from ptgnn_tpu.parallel.dp import _shard_map
@@ -846,22 +849,15 @@ class NodeParallel:
                 group_mb = jax.tree_util.tree_map(
                     lambda x: None if x is None else x[0], group_mb
                 )
-            (loss, metrics), grads = jax.value_and_grad(
-                lambda p: self._per_shard_loss(p, group_mb, rng, True),
-                has_aux=True,
-            )(params)
-            grads = self._cast(grads, jnp.float32)
+            loss, metrics = self._per_shard_loss(params, group_mb, rng, True)
             if daxis is not None:
                 w = w.reshape(())
                 wsum = jnp.maximum(jax.lax.psum(w, daxis), 1e-9)
-                grads = jax.tree_util.tree_map(
-                    lambda g: jax.lax.psum(g * w, daxis) / wsum, grads
-                )
                 loss = jax.lax.psum(loss * w, daxis) / wsum
                 metrics = jax.tree_util.tree_map(
                     lambda m: jax.lax.psum(m, daxis), metrics
                 )
-            return grads, loss, metrics
+            return loss, metrics
 
         with_data = daxis is not None
         in_specs = (
@@ -872,7 +868,7 @@ class NodeParallel:
         )
         return _shard_map(
             per_device, mesh=self.mesh, in_specs=in_specs,
-            out_specs=(P(), P(), P()),
+            out_specs=(P(), P()),
         )
 
     def build_trainer_steps(self):
@@ -897,10 +893,13 @@ class NodeParallel:
         state = {"train": None, "eval": None}
 
         def build_train(example_group):
-            grads_fn = self._build_group_grads_fn(example_group)
+            loss_fn = self._build_group_loss_fn(example_group)
 
             def train_step(params, opt_state, group, rng, lr_factor, weights):
-                grads, loss, metrics = grads_fn(params, group, rng, weights)
+                (loss, metrics), grads = jax.value_and_grad(
+                    lambda p: loss_fn(p, group, rng, weights), has_aux=True
+                )(params)
+                grads = self._cast(grads, jnp.float32)
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 updates = jax.tree_util.tree_map(
                     lambda u: u * lr_factor, updates

@@ -240,6 +240,29 @@ def test_typilus_traindistributed_cli_on_cpu_mesh():
     assert model_path.exists()
 
 
+def test_typilus_traindistributed_cli_node_sharded():
+    """--node-shards 4 on the 8-device CPU mesh: the hybrid (2 data x 4
+    node) mesh trains multi-epoch with auto-probed budgets, validation and
+    best-checkpoint restore (VERDICT round-3 item 2's done criterion)."""
+    tmp = Path(tempfile.mkdtemp())
+    write_typilus_folds(tmp)
+    model_path = tmp / "nodesharded.pkl.gz"
+    proc = run_cli(
+        [
+            "ptgnn_tpu.implementations.typilus.traindistributed",
+            str(tmp / "train"), str(tmp / "valid"), str(tmp / "test"),
+            str(model_path),
+            "--max-num-epochs", "2", "--minibatch-size", "4",
+            "--max-nodes", "256", "--node-shards", "4", "--quiet",
+        ],
+        extra_env={"XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert model_path.exists()
+    assert "Node-sharding budgets probed" in (proc.stderr + proc.stdout)
+    assert "Test accuracy:" in proc.stdout
+
+
 def test_typilus_predict_cli_streams_predictions():
     tmp = Path(tempfile.mkdtemp())
     write_typilus_folds(tmp, sizes=(("train", 12, 1), ("valid", 4, 2), ("test", 4, 3)))
