@@ -138,6 +138,7 @@ class GraphNeuralNetwork(Module):
         train: bool,
         rng: Optional[jax.Array],
         return_all_states: bool,
+        edge_feature_table: Optional[jax.Array] = None,
     ) -> jax.Array:
         """The MP stack under receiver-aligned node sharding
         (parallel/node_sharding.py): per layer, exchange only the boundary
@@ -168,7 +169,14 @@ class GraphNeuralNetwork(Module):
             adj_bnd = adj_bnd._replace(mask=jnp.logical_and(adj_bnd.mask, keep_b))
             ctx = ctx._replace(edge_mask_is_static=False)
         merged = merged_adjacency(adj_int, adj_bnd, rows_per)
-        ctx = ctx._replace(adjacency=merged)
+        edge_features = None
+        if edge_feature_table is not None:
+            slot = merged.edge_feature_slot
+            gathered = jnp.take(edge_feature_table, jnp.maximum(slot, 0), axis=0)
+            edge_features = jnp.where(
+                slot[:, None] >= 0, gathered, jnp.zeros((), gathered.dtype)
+            )
+        ctx = ctx._replace(adjacency=merged, edge_features=edge_features)
 
         H = node_representations
         all_states = [H]
@@ -209,6 +217,9 @@ class GraphNeuralNetwork(Module):
                         recv=recv,
                         node_graph_global=ns_static.node_graph_global,
                         node_mask_global=ns_static.node_mask_global,
+                        att_order_global=getattr(
+                            ns_static, "att_order_global", None
+                        ),
                     )
                 )
                 H = layer.apply(
@@ -307,9 +318,16 @@ class GraphNeuralNetwork(Module):
             params["node_embedder"], **batch.node_data, train=train,
             rng=fold(rng, 104729),
         )  # [rows_per, D]
-        assert self.edge_feature_embedder is None or batch.edge_feature_data is None, (
-            "edge features under node sharding are not implemented yet"
-        )
+        edge_feature_table = None
+        if self.edge_feature_embedder is not None and batch.edge_feature_data is not None:
+            # The embedded feature table is small ([F_budget, F]) and the
+            # per-shard layouts carry GLOBAL feature-slot indices, so the
+            # table is computed replicated on every shard and gathered per
+            # merged edge slot inside the stack.
+            edge_feature_table = self.edge_feature_embedder.apply(
+                params["edge_embedder"], **batch.edge_feature_data,
+                train=train, rng=fold(rng, 104730),
+            )
         ctx = GraphContext(
             adjacency=batch.adjacency,  # interior; replaced by merged inside
             edge_features=None,
@@ -322,6 +340,7 @@ class GraphNeuralNetwork(Module):
         output = self._gnn_node_sharded(
             params, initial, ctx, ns, axis, train=train, rng=rng,
             return_all_states=return_all_states,
+            edge_feature_table=edge_feature_table,
         )  # [rows_per, D_out]
         # Readout: one [N, D] all_gather so heads (reference gathers, node
         # losses) run on global ids — the only full-node-array buffer; the

@@ -74,9 +74,16 @@ def _block_attention(
 
 class MultiHeadSelfAttentionMessagePassing(AbstractMessagePassingLayer):
     # Attention runs over the batcher's global att_order packing, which a
-    # receiver-aligned node shard cannot see; the sharded stack raises a
-    # clear error instead of silently attending within one shard.
-    supports_node_sharding = False
+    # receiver-aligned node shard cannot see locally. Under node sharding the
+    # layer therefore all_gathers the (small, [N, D]) node states, attends
+    # over the GLOBAL packing — bit-identical to the single-device path —
+    # and keeps only its local rows. That one gather is O(N*D) for THIS
+    # layer only; the boundary-exchange stack's O(boundary*D) scaling is
+    # untouched for every other layer. It never reads the recv buffer or
+    # adjacency, so the engine skips its boundary all_to_all
+    # (needs_boundary_exchange contract, base.py).
+    supports_node_sharding = True
+    needs_boundary_exchange = False
 
     def __init__(
         self,
@@ -132,6 +139,34 @@ class MultiHeadSelfAttentionMessagePassing(AbstractMessagePassingLayer):
         train: bool = False,
         rng: Optional[jax.Array] = None,
     ) -> jax.Array:
+        ns = ctx.node_sharding
+        if ns is not None:
+            if self.target_reference != "all":
+                raise NotImplementedError(
+                    "reference-subset self-attention under node sharding is "
+                    "not implemented (reference rows live on other shards); "
+                    "run this layer unsharded or use target_reference='all'"
+                )
+            # Gather the global node states, attend over the global packing
+            # (exact — identical to the single-device computation), keep the
+            # local rows. See the class comment for the cost model.
+            h_global = jax.lax.all_gather(ns.h_local, ns.axis, tiled=True)
+            global_ctx = ctx._replace(
+                node_graph=ns.node_graph_global,
+                node_mask=ns.node_mask_global,
+                att_order=ns.att_order_global,
+                node_sharding=None,
+            )
+            out = self.apply(
+                params, h_global, global_ctx, train=train, rng=rng
+            )
+            start = jax.lax.axis_index(ns.axis) * ns.rows_per
+            local = jax.lax.dynamic_slice_in_dim(out, start, ns.rows_per, 0)
+            tail = node_states.shape[0] - ns.rows_per
+            return jnp.concatenate(
+                [local, jnp.zeros((tail, local.shape[-1]), local.dtype)], axis=0
+            )
+
         n = node_states.shape[0]
         order = None
         att_width = self.block_size

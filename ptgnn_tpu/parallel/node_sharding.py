@@ -63,6 +63,10 @@ class NodeShardingData(NamedTuple):
     node_graph_global: Any  # [N_pad] int32
     node_mask_global: Any  # [N_pad] bool
     boundary_counts: Any  # [S] int32: real boundary rows this shard sends per dst
+    # Global [n_blocks, att_block] attention packing (renumbered when the
+    # reorder permutes nodes); None when the batch carries none. Consumed by
+    # the self-attention layer's gather-based node-sharded path.
+    att_order_global: Any = None
 
 
 class NodeShardCtx(NamedTuple):
@@ -76,6 +80,7 @@ class NodeShardCtx(NamedTuple):
     recv: jax.Array  # [S*b, D] boundary sender features (post-exchange)
     node_graph_global: Any  # [N_pad] int32 (for layers needing global stats)
     node_mask_global: Any  # [N_pad] bool
+    att_order_global: Any = None  # global attention packing (see above)
 
 
 # ---------------------------------------------------------------------------
@@ -375,6 +380,17 @@ def shard_batch_by_nodes(
 
         references = {k: remap_ref(v) for k, v in references.items()}
 
+    att_order_global = batch.att_order
+    if att_order_global is not None:
+        att_order_global = np.asarray(att_order_global)
+        if perm is not None:
+            # packing entries are node ids; padding slots hold n_pad
+            att_order_global = np.where(
+                att_order_global < n_pad,
+                inv[np.minimum(att_order_global, n_pad)],
+                att_order_global,
+            ).astype(att_order_global.dtype)
+
     sharded_batch = batch._replace(
         node_data=jax.tree_util.tree_map(slice_nodes, batch.node_data),
         adjacency=stack_adj(adj_int),
@@ -388,6 +404,7 @@ def shard_batch_by_nodes(
             node_graph_global=node_graph_h,
             node_mask_global=node_mask_h,
             boundary_counts=boundary_counts,
+            att_order_global=att_order_global,
         ),
     )
     total_boundary = int(boundary_counts.sum())

@@ -235,8 +235,9 @@ def test_node_parallel_train_step_matches_single_device(architecture):
 
 def test_node_parallel_heterogeneous_stack_matches_single_device():
     """A stack mixing exchange-free layers (GraphNorm, global exchange —
-    their boundary all_to_all is skipped entirely) with GGNN layers must
-    still match the single-device step exactly."""
+    their boundary all_to_all is skipped entirely), the gather-based
+    self-attention MP, and GGNN layers must still match the single-device
+    step exactly."""
     import optax
 
     from ptgnn_tpu.graph.embedders import StrElementRepresentationModel
@@ -244,6 +245,9 @@ def test_node_parallel_heterogeneous_stack_matches_single_device():
     from ptgnn_tpu.graph.messagepassing import GatedMessagePassingLayer
     from ptgnn_tpu.graph.messagepassing.global_exchange import GruGlobalStateUpdate
     from ptgnn_tpu.graph.messagepassing.graphnorm import GraphNorm
+    from ptgnn_tpu.graph.messagepassing.selfatt import (
+        MultiHeadSelfAttentionMessagePassing,
+    )
     from ptgnn_tpu.implementations.typilus.graph2class import Graph2Class
     from ptgnn_tpu.implementations.typilus.harness import small_padding
     from ptgnn_tpu.parallel.node_sharding import NodeParallel
@@ -263,6 +267,11 @@ def test_node_parallel_heterogeneous_stack_matches_single_device():
             GruGlobalStateUpdate(
                 SimpleVarSizedElementReduce("mean"),
                 input_state_size=H, summarized_state_size=H,
+            ),
+            MultiHeadSelfAttentionMessagePassing(
+                input_state_dimension=H, key_query_dimension=8,
+                value_dimension=8, output_dimension=H,
+                intermediate_dimension=2 * H, num_heads=2, dropout_rate=0.0,
             ),
             mk(),
         ]
@@ -380,14 +389,130 @@ def test_graphnorm_matches_under_node_sharding():
     np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
 
 
-def test_selfatt_raises_under_node_sharding():
-    import optax
-
+def test_selfatt_node_sharding_contract():
+    """Self-attention MP supports node sharding through a gather-based path
+    (exact global attention); it never reads the recv buffer, so the engine
+    skips its boundary all_to_all. Reference-subset mode stays rejected."""
+    from ptgnn_tpu.graph.messagepassing import GraphContext
     from ptgnn_tpu.graph.messagepassing.selfatt import (
         MultiHeadSelfAttentionMessagePassing,
     )
+    from ptgnn_tpu.parallel.node_sharding import NodeShardCtx
 
-    assert MultiHeadSelfAttentionMessagePassing.supports_node_sharding is False
+    assert MultiHeadSelfAttentionMessagePassing.supports_node_sharding is True
+    assert MultiHeadSelfAttentionMessagePassing.needs_boundary_exchange is False
+
+    layer = MultiHeadSelfAttentionMessagePassing(
+        input_state_dimension=8, key_query_dimension=4, value_dimension=4,
+        output_dimension=8, intermediate_dimension=16, num_heads=1,
+        target_reference="supernodes",
+    )
+    p = layer.init(jax.random.PRNGKey(0))
+    ns = NodeShardCtx(
+        axis="node", rows_per=4, adj_int=None, adj_bnd=None,
+        h_local=jnp.zeros((4, 8)), recv=None, node_graph_global=None,
+        node_mask_global=None,
+    )
+    ctx = GraphContext(
+        adjacency=None, edge_features=None, node_graph=None, node_mask=None,
+        graph_mask=jnp.ones((2,), bool), references={}, node_sharding=ns,
+    )
+    with pytest.raises(NotImplementedError):
+        layer.apply(p, jnp.zeros((4, 8)), ctx)
+
+
+def test_node_parallel_edge_features_match_single_device():
+    """Edge-feature models train node-sharded: the embedded feature table is
+    replicated and gathered per merged edge slot; loss matches the
+    single-device step exactly."""
+    import optax
+
+    from ptgnn_tpu.graph.embedders import FeatureRepresentationModel
+    from ptgnn_tpu.graph.gnn import GraphNeuralNetworkModel
+    from ptgnn_tpu.graph.messagepassing import GatedMessagePassingLayer
+    from ptgnn_tpu.graph.structs import GraphData
+    from ptgnn_tpu.parallel.node_sharding import NodeParallel
+
+    rng = np.random.RandomState(0)
+    F = 4
+
+    def make_graph(n=40, e=50):
+        edges = [
+            (int(a), int(b))
+            for a, b in zip(rng.randint(0, n, e), rng.randint(0, n, e))
+        ]
+        return GraphData(
+            node_information=[rng.randn(3).astype(np.float32) for _ in range(n)],
+            edges={"E": edges},
+            reference_nodes={},
+            edge_features={"E": [rng.randn(2).astype(np.float32) for _ in range(e)]},
+        )
+
+    pad = BatchPadding(
+        max_nodes=128, max_edge_slots=4096, max_graphs=4, edge_tile=32,
+        agg_rows=32,
+    )
+    model = GraphNeuralNetworkModel(
+        node_representation_model=FeatureRepresentationModel(embedding_size=8),
+        edge_representation_model=FeatureRepresentationModel(embedding_size=F),
+        message_passing_layer_creator=lambda n: [
+            GatedMessagePassingLayer(
+                state_dimension=8, message_dimension=8, num_edge_types=n,
+                message_aggregation_function="sum", edge_feature_dimension=F,
+            )
+        ] * 2,
+        padding=pad,
+        introduce_backwards_edges=True,
+        add_self_edges=True,
+    )
+    graphs = [make_graph() for _ in range(3)]
+    model.compute_metadata(iter(graphs), parallelize=False)
+
+    import jax as _jax
+
+    class _WrappedModule:
+        """Minimal loss head over the GNN so NodeParallel can drive it."""
+
+        def __init__(self, gnn):
+            self.gnn = gnn
+
+        def init(self, key):
+            return self.gnn.init(key)
+
+        def apply(self, params, batch, train=False, rng=None):
+            out, metrics = self.gnn.apply(params, batch, train=train, rng=rng)
+            h = out.output_node_representations
+            mask = out.node_mask
+            loss = jnp.sum(
+                jnp.where(mask[:, None], h, jnp.zeros((), h.dtype)) ** 2
+            ) / jnp.maximum(jnp.sum(mask), 1)
+            return loss, metrics
+
+    module = _WrappedModule(model.build_neural_module())
+    params = module.init(jax.random.PRNGKey(0))
+    mb = next(
+        model.minibatch_iterator(
+            model.tensorize_dataset(iter(graphs), parallelize=False),
+            max_minibatch_size=3, parallelize=False,
+        )
+    )[0]
+    mb = {"batch": mb["batch"]}
+
+    ref_loss, _ = module.apply(params, **mb, train=True, rng=jax.random.PRNGKey(3))
+    ref_loss = float(ref_loss)
+
+    budgets = suggest_budgets([mb], 4)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("node",))
+    npar = NodeParallel(module, optax.sgd(0.05), mesh, axis="node", **budgets)
+    sharded_mb = npar.shard_batch(mb)
+    assert npar.last_stats["boundary_nodes_total"] > 0
+    step = npar.build_train_step(sharded_mb)
+    _, _, loss, _ = step(
+        jax.tree_util.tree_map(jnp.copy, params),
+        optax.sgd(0.05).init(params), sharded_mb, jax.random.PRNGKey(3),
+    )
+    module.gnn.node_partition_axis = None
+    np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-5)
 
 
 def test_single_graph_larger_than_one_shard_trains():
