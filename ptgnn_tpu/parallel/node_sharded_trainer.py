@@ -83,10 +83,6 @@ class NodeShardedModelTrainer(DistributedModelTrainer):
         mesh = mesh if mesh is not None else node_data_mesh(node_shards)
         assert mesh.shape["node"] == node_shards, (mesh.shape, node_shards)
         super().__init__(*args, mesh=mesh, zero1=zero1, **kwargs)
-        assert self._grad_accum_steps == 1, (
-            "gradient accumulation under node sharding is not implemented; "
-            "raise the data axis or per-batch budgets instead"
-        )
         self.node_shards = node_shards
         self.data_size = mesh.shape.get("data", 1)
         self._budgets = dict(budgets) if budgets else None
@@ -128,6 +124,10 @@ class NodeShardedModelTrainer(DistributedModelTrainer):
         train_step, eval_step = self._np.build_trainer_steps()
         self._train_step_fn = train_step
         self._eval_step_fn = eval_step
+        if self._grad_accum_steps > 1:
+            # NodeParallel implements DataParallel's build_accum_steps
+            # protocol, so the base trainer's accumulation wrapper applies.
+            self._build_dp_accumulating_step()
 
     # -- budget probing -----------------------------------------------------
     def _probe_budgets(self, head: List[Any]) -> Dict[str, int]:

@@ -848,7 +848,8 @@ class NodeParallel:
 
     def _build_group_loss_fn(self, example_stacked_group):
         """shard_map over (data x node) returning the data-weighted mean
-        loss (weight 0 = padding group) and data-summed metrics. Gradients
+        loss (weight 0 = padding group) and aux (data-summed metrics, the
+        psum'd weight total — the accumulation normalizer). Gradients
         are taken OUTSIDE this shard_map (build_trainer_steps): shard_map's
         transpose accumulates per-device cotangents into the correct global
         gradient — the same pattern as build_train_step; per-device
@@ -867,14 +868,15 @@ class NodeParallel:
                     lambda x: None if x is None else x[0], group_mb
                 )
             loss, metrics = self._per_shard_loss(params, group_mb, rng, True)
-            if daxis is not None:
-                w = w.reshape(())
-                wsum = jnp.maximum(jax.lax.psum(w, daxis), 1e-9)
-                loss = jax.lax.psum(loss * w, daxis) / wsum
-                metrics = jax.tree_util.tree_map(
-                    lambda m: jax.lax.psum(m, daxis), metrics
-                )
-            return loss, metrics
+            if daxis is None:
+                return loss, (metrics, jnp.asarray(1.0, jnp.float32))
+            w = w.reshape(())
+            wsum = jnp.maximum(jax.lax.psum(w, daxis), 1e-9)
+            loss = jax.lax.psum(loss * w, daxis) / wsum
+            metrics = jax.tree_util.tree_map(
+                lambda m: jax.lax.psum(m, daxis), metrics
+            )
+            return loss, (metrics, wsum)
 
         with_data = daxis is not None
         in_specs = (
@@ -913,7 +915,7 @@ class NodeParallel:
             loss_fn = self._build_group_loss_fn(example_group)
 
             def train_step(params, opt_state, group, rng, lr_factor, weights):
-                (loss, metrics), grads = jax.value_and_grad(
+                (loss, (metrics, _)), grads = jax.value_and_grad(
                     lambda p: loss_fn(p, group, rng, weights), has_aux=True
                 )(params)
                 grads = self._cast(grads, jnp.float32)
@@ -979,3 +981,54 @@ class NodeParallel:
             return state["eval"](params, group, weights)
 
         return train_step, eval_step
+
+    def build_accum_steps(self):
+        """Gradient accumulation for the node-sharded trainer path, matching
+        DataParallel.build_accum_steps semantics: ``grad_step`` adds one
+        group's weighted gradient SUM (and weight total) to a replicated
+        accumulator; ``apply_step`` divides by the accumulated weight and
+        runs the optimizer once (ZeRO-1 constraints included). Lazily
+        compiled from the first group's tree (budgets may be probed at
+        epoch start)."""
+        import optax
+
+        optimizer = self.optimizer
+        state = {"grad": None}
+
+        def build(example_group):
+            loss_fn = self._build_group_loss_fn(example_group)
+
+            def grad_step(params, grad_acc, w_acc, group, rng, weights):
+                (loss, (metrics, wsum)), grads = jax.value_and_grad(
+                    lambda p: loss_fn(p, group, rng, weights), has_aux=True
+                )(params)
+                grads = self._cast(grads, jnp.float32)
+                grad_acc = jax.tree_util.tree_map(
+                    lambda a, g: a + g * wsum, grad_acc, grads
+                )
+                return grad_acc, w_acc + wsum, loss, metrics
+
+            return jax.jit(grad_step, donate_argnums=(1,))
+
+        def grad_step(params, grad_acc, w_acc, group, rng, weights):
+            if state["grad"] is None:
+                state["grad"] = build(group)
+            return state["grad"](params, grad_acc, w_acc, group, rng, weights)
+
+        def apply_step(params, opt_state, grad_acc, w_acc, lr_factor):
+            grads = jax.tree_util.tree_map(
+                lambda a: a / jnp.maximum(w_acc, 1e-9), grad_acc
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            updates = jax.tree_util.tree_map(lambda u: u * lr_factor, updates)
+            params = optax.apply_updates(params, updates)
+            if self._use_zero1:
+                params = jax.lax.with_sharding_constraint(
+                    params, self.replicated()
+                )
+                opt_state = jax.lax.with_sharding_constraint(
+                    opt_state, self._zero1_opt_sharding(opt_state)
+                )
+            return params, opt_state
+
+        return grad_step, jax.jit(apply_step, donate_argnums=(0, 1, 2))

@@ -193,6 +193,27 @@ def test_node_sharded_trainer_pure_node_mesh():
     assert (Path(tmp) / "g2c.pkl.gz").exists()
 
 
+def test_node_sharded_trainer_gradient_accumulation():
+    """gradient_accumulation_steps=2 on the hybrid mesh: k accumulated
+    groups apply one weighted-mean optimizer step (DataParallel accum
+    protocol implemented by NodeParallel)."""
+    tmp = tempfile.mkdtemp()
+    model, trainer = _make_trainer(
+        tmp, mesh=node_data_mesh(4), max_num_epochs=1,
+        gradient_accumulation_steps=2,
+    )
+    trainer.train(
+        _train_data(24, seed=1),
+        _train_data(6, seed=2),
+        validate_on_start=False,
+        parallelize=False,
+        use_multiprocessing=False,
+        store_tensorized_data_in_memory=True,
+        patience=5,
+    )
+    assert (Path(tmp) / "g2c.pkl.gz").exists()
+
+
 def test_over_budget_batch_is_skipped_with_log(caplog):
     """A batch exceeding the frozen budgets must be skipped with a warning,
     not crash the epoch (and the skip must be counted)."""
