@@ -22,7 +22,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_two_process(extra_args=()):
+def _run_two_process(extra_args=(), worker_name="multihost_worker.py"):
     import os
 
     outdir = Path(tempfile.mkdtemp())
@@ -32,7 +32,7 @@ def _run_two_process(extra_args=()):
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
 
-    worker = Path(__file__).parent / "multihost_worker.py"
+    worker = Path(__file__).parent / worker_name
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(pid), "2", coordinator, str(outdir)]
@@ -69,3 +69,15 @@ def test_two_process_gradient_accumulation():
     assert results[0]["checksum"] == results[1]["checksum"], results
     assert results[0]["accuracy"] == results[1]["accuracy"], results
     assert results[0]["accuracy"] > 0.85, results
+
+
+@pytest.mark.slow
+def test_two_process_node_sharded_training():
+    """Multi-host node sharding: a (data=2, node=4) mesh spanning two
+    processes trains Graph2Class with budgets max-reduced across hosts and
+    UNEVEN data shards; replicated params end bitwise-identical."""
+    results = _run_two_process(worker_name="multihost_node_worker.py")
+    assert results[0]["checksum"] == results[1]["checksum"], results
+    assert results[0]["budgets"] == results[1]["budgets"], (
+        "hosts compiled different static budgets"
+    )
