@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import argparse
 import logging
-from pathlib import Path
 
 from ptgnn_tpu.implementations.graph2seq import test as test_cli
 from ptgnn_tpu.implementations.graph2seq import train as train_cli

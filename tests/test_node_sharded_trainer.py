@@ -6,7 +6,6 @@ from pathlib import Path
 
 import numpy as np
 import optax
-import pytest
 
 import jax
 import jax.numpy as jnp

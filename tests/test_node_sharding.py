@@ -468,8 +468,6 @@ def test_node_parallel_edge_features_match_single_device():
     graphs = [make_graph() for _ in range(3)]
     model.compute_metadata(iter(graphs), parallelize=False)
 
-    import jax as _jax
-
     class _WrappedModule:
         """Minimal loss head over the GNN so NodeParallel can drive it."""
 

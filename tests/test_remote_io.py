@@ -1,7 +1,6 @@
 """Remote dataset IO through fsspec (the RichPath/--azure-info equivalent;
 reference: ptgnn/implementations/typilus/train.py:9,141-145), exercised with
 the in-process memory:// filesystem."""
-import gzip
 import json
 
 import numpy as np

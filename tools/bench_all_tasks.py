@@ -62,7 +62,6 @@ def bench_typilus():
 
 
 def bench_ppi():
-    from ptgnn_tpu.graph.structs import BatchPadding
     from ptgnn_tpu.implementations.ppi.dataloader import PPIGraphSample
     from ptgnn_tpu.implementations.ppi.train import create_ppi_gnn_model
     from ptgnn_tpu.utils.synthetic import synthetic_ppi_graphs
