@@ -213,6 +213,43 @@ def test_node_sharded_trainer_gradient_accumulation():
     assert (Path(tmp) / "g2c.pkl.gz").exists()
 
 
+def test_node_sharded_trainer_resume_with_optimizer_state():
+    """Crash-resume on the hybrid mesh: a fresh trainer restores the model
+    AND the .optimizerstate checkpoint, re-materializes the moments through
+    NodeParallel.init_opt_state's restored branch, and continues training."""
+    tmp = tempfile.mkdtemp()
+    model, trainer = _make_trainer(tmp, mesh=node_data_mesh(4), max_num_epochs=2)
+    trainer.train(
+        _train_data(16, seed=1), _train_data(6, seed=2),
+        validate_on_start=False, parallelize=False, use_multiprocessing=False,
+        store_tensorized_data_in_memory=True, patience=5,
+    )
+    ckpt = Path(tmp) / "g2c.pkl.gz"
+    assert ckpt.exists() and ckpt.with_suffix(".optimizerstate").exists()
+
+    # the CLI resume flow: restore the pickled model (with its metadata),
+    # hand it to a fresh trainer, and restore params + optimizer state
+    from ptgnn_tpu.implementations.typilus.graph2class import Graph2Class
+
+    model2, _ = Graph2Class.restore_model(ckpt)
+    trainer2 = NodeShardedModelTrainer(
+        model2, ckpt, node_shards=4, mesh=node_data_mesh(4),
+        max_num_epochs=3, minibatch_size=8,
+        optimizer_creator=lambda: optax.adam(1e-3),
+        target_validation_metric="Accuracy",
+        target_validation_metric_higher_is_better=True,
+    )
+    trainer2.restore_parameters(ckpt, restore_optimizer=True)
+    assert trainer2._start_epoch_override == 2, "resume epoch from checkpoint"
+    trainer2.train(
+        _train_data(16, seed=1), _train_data(6, seed=2),
+        initialize_metadata=False, validate_on_start=False,
+        parallelize=False, use_multiprocessing=False,
+        store_tensorized_data_in_memory=True, patience=5,
+    )
+    assert trainer2.params is not None
+
+
 def test_over_budget_batch_is_skipped_with_log(caplog):
     """A batch exceeding the frozen budgets must be skipped with a warning,
     not crash the epoch (and the skip must be counted)."""
