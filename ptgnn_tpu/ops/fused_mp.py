@@ -27,8 +27,14 @@ The target-keyed gradient is directly a receiver-keyed aggregation.
 
 Net effect: forward and backward are built exclusively from fast gathers,
 tile matmuls, and the Pallas kernel; no [E, D] scatter or permutation ever
-runs, and no [E, D] residuals are saved (backward recomputes messages —
-cheaper than materializing them).
+runs. The dropped-out per-edge input is saved as the one [E, Din] residual
+(v5e profile: storing it is 5-6x cheaper than the two node-table gathers +
+dropout hash/select that recomputing it costs); messages are never
+materialized for the backward — they are reproduced bitwise by one tile
+matmul where the extremum tie indicators need them. All node-table lookups
+keyed on the same index vector ride one widened gather of a concatenated
+table, because an [E, D] gather costs the same as [E, 2D] at D=64 (row
+count dominates; lanes pad to 128).
 
 Constraints (callers fall back to the plain path otherwise):
 * single linear message function (bias-free; the reference's GGNN, EGC, and
@@ -49,6 +55,7 @@ import jax
 import jax.numpy as jnp
 
 from ptgnn_tpu.ops.pallas.segment_kernels import (
+    adjacency_broadcast_to_edges,
     adjacency_segment_reduce,
     plan_from_adjacency,
     planned_segment_extremum_with_argmax,
@@ -100,19 +107,21 @@ def _keyed_dropout_mask(
 
 def _forward_parts(
     x, weight_stack, adj, *, use_target_state: bool, drop_mask, tile_types,
-    compute_messages: bool = True,
+    tgt_rows=None,
 ):
-    """Gather inputs, apply dropout, compute messages (primary or transpose
-    orientation depending on (senders, receivers, tile_types) given)."""
+    """Gather inputs, apply dropout, compute messages. ``tgt_rows``: the
+    per-edge target-state rows when the caller pre-fetched them through the
+    block-local broadcast kernel (padding rows then read 0 instead of the
+    clamped row — both are masked downstream)."""
     senders, receivers = adj
     n = x.shape[0]
     # Clamp: padding receivers are out of range (and appear as "senders" in
     # the transpose orientation); the rows are masked downstream.
     src = jnp.take(x, jnp.minimum(senders, n - 1), axis=0)
     if use_target_state:
-        safe_recv = jnp.minimum(receivers, n - 1)
-        tgt = jnp.take(x, safe_recv, axis=0)
-        inp = jnp.concatenate([src, tgt], axis=-1)
+        if tgt_rows is None:
+            tgt_rows = jnp.take(x, jnp.minimum(receivers, n - 1), axis=0)
+        inp = jnp.concatenate([src, tgt_rows], axis=-1)
     else:
         inp = src
     if drop_mask is not None:
@@ -122,8 +131,6 @@ def _forward_parts(
             inp / jnp.asarray(keep, inp.dtype),
             jnp.zeros((), inp.dtype),
         )
-    if not compute_messages:
-        return inp, None
     tile = senders.shape[0] // tile_types.shape[0]
     msgs = typed_tile_matmul(inp, weight_stack, tile_types, tile)
     return inp, msgs
@@ -139,7 +146,7 @@ def fused_typed_message_aggregation(
     use_target_state: bool,
     dropout_keep: float,  # 1.0 = no dropout
 ):
-    out, _ = _fused_fwd_impl(
+    out, _, _ = _fused_fwd_impl(
         node_states, weight_stack, adj_and_rng, num_nodes, reduction,
         use_target_state, dropout_keep,
     )
@@ -161,9 +168,14 @@ def _fused_fwd_impl(
     if dropout_keep < 1.0:
         key_fwd = _directed_edge_key(adj.senders, adj.receivers, adj.edge_types)
         drop = (seed, key_fwd, dropout_keep)
-    _, msgs = _forward_parts(
+    tgt_rows = None
+    if use_target_state and node_states.dtype in (jnp.float32, jnp.bfloat16):
+        # receiver-keyed -> block-local: broadcast kernel, not XLA gather
+        tgt_rows = adjacency_broadcast_to_edges(node_states, adj)
+    inp, msgs = _forward_parts(
         node_states, weight_stack, (adj.senders, adj.receivers),
         use_target_state=use_target_state, drop_mask=drop, tile_types=adj.tile_types,
+        tgt_rows=tgt_rows,
     )
     # Argmax routing needs fwd/bwd PAIR ids to resolve each winner's
     # transpose slot; edge_feature_slot carries them (the batcher numbers
@@ -183,13 +195,13 @@ def _fused_fwd_impl(
             work.astype(jnp.float32), adj.receivers, plan_from_adjacency(adj),
             num_nodes, is_max,
         )
-        return vals.astype(msgs.dtype), args
+        return vals.astype(msgs.dtype), args, inp
     # Fusion requires the static batch mask (can_fuse), so plan.counts are
     # exact — mean skips its runtime counting pass.
     out = adjacency_segment_reduce(
         msgs, adj, num_nodes, reduction, mask=adj.mask, counts_exact=True
     )
-    return out, None
+    return out, None, inp
 
 
 def _use_argmax_routing() -> bool:
@@ -205,15 +217,19 @@ def _fused_fwd(
     node_states, weight_stack, adj_and_rng, num_nodes, reduction,
     use_target_state, dropout_keep,
 ):
-    out, args = _fused_fwd_impl(
+    out, args, inp = _fused_fwd_impl(
         node_states, weight_stack, adj_and_rng, num_nodes, reduction,
         use_target_state, dropout_keep,
     )
-    return out, (node_states, weight_stack, adj_and_rng, out, args)
+    # inp (the dropped-out per-edge message input) is saved as a residual:
+    # recomputing it in the backward costs two [E, D] node-table gathers plus
+    # the dropout hash/select per layer, which profiling showed is 5-6x the
+    # HBM cost of storing the [E, Din] low-precision array.
+    return out, (node_states, weight_stack, adj_and_rng, out, args, inp)
 
 
 def _fused_bwd(num_nodes, reduction, use_target_state, dropout_keep, res, g):
-    node_states, weight_stack, (adj, seed), out, args = res
+    node_states, weight_stack, (adj, seed), out, args, inp = res
     n, d = node_states.shape
     # Backward runs in the forward's compute dtype: under bf16 AMP the
     # cotangent kernels take the single-pass bf16 matmul path (the f32 path
@@ -224,6 +240,7 @@ def _fused_bwd(num_nodes, reduction, use_target_state, dropout_keep, res, g):
     )
     g = g.astype(compute_dtype)
     is_extremum = reduction in ("max", "min")
+    value_tie = is_extremum and args is None
 
     drop = None
     drop_tr = None
@@ -243,17 +260,25 @@ def _fused_bwd(num_nodes, reduction, use_target_state, dropout_keep, res, g):
     tile = adj.edge_tile
 
     ties = None
-    inp_p = None  # primary-orientation dropped-out input, reused by dW
-    if is_extremum and args is None:
+    _indicator_p = None
+    if value_tie:
         # value-based tie-splitting: one indicator pass over the primary
-        # orientation (shared by both routing directions)
-        inp_p, _msgs_p = _forward_parts(
-            node_states, weight_stack, (adj.senders, adj.receivers),
-            use_target_state=use_target_state, drop_mask=drop,
-            tile_types=adj.tile_types,
-        )
-        _out_f = out.astype(jnp.float32)
-        _out_e = jnp.take(_out_f, adj.receivers, axis=0, mode="fill", fill_value=_BIG)
+        # orientation (shared by both routing directions). The messages are
+        # reproduced bitwise from the SAVED forward input by one tile
+        # matmul — no gathers, no dropout recompute.
+        _msgs_p = typed_tile_matmul(inp, weight_stack, adj.tile_types, tile)
+        # Receiver-keyed lookups are block-local in the unified layout, so
+        # they run through the broadcast kernel (dense-bandwidth block
+        # reads) in out's NATIVE dtype (bf16 under AMP: one exact MXU pass;
+        # the f32 compare after the cast sees identical values). Zero
+        # padding rows stand in for the old fill=+-BIG — the adj.mask
+        # conjunction below zeroes the same slots.
+        if out.dtype in (jnp.float32, jnp.bfloat16):
+            _out_e = adjacency_broadcast_to_edges(out, adj).astype(jnp.float32)
+        else:  # x64 parity tests: Mosaic has no f64
+            _out_e = jnp.take(
+                out.astype(jnp.float32), jnp.minimum(adj.receivers, n - 1), axis=0
+            )
         _indicator_p = jnp.logical_and(
             _msgs_p.astype(jnp.float32) == _out_e, adj.mask[:, None]
         ).astype(compute_dtype)
@@ -261,9 +286,55 @@ def _fused_bwd(num_nodes, reduction, use_target_state, dropout_keep, res, g):
             _indicator_p, adj, num_nodes, "sum", mask=adj.mask
         )
 
+    # ---- batched node-table gathers -------------------------------------
+    # v5e profile: a [E, D] node-table gather costs the same as [E, 2D] at
+    # D=64 (row count dominates; lanes pad to 128), so every per-edge lookup
+    # keyed on the same index vector rides ONE widened gather of a
+    # concatenated node table. Clamped indices replace per-use fill values:
+    # every consumer is masked by adj.mask downstream (value-tie indicators
+    # carry the conjunction explicitly; sum/mean cotangents are zeroed at
+    # the route_* return).
+    # The table dtype must not downcast node_states (the transpose message
+    # recompute must be bitwise the forward's computation — under x64 parity
+    # tests that is f64); g/ties round-trip exactly through any wider dtype.
+    tab_dtype = jnp.result_type(compute_dtype, node_states.dtype)
+    m = g.shape[1]  # message width; node_states width d may differ
+    recv_parts = [g.astype(tab_dtype)]
+    send_parts = [g.astype(tab_dtype)]
+    if value_tie:
+        # x by receivers: transpose-msg src input; x by senders: its tgt
+        recv_parts += [ties.astype(tab_dtype), node_states.astype(tab_dtype)]
+        send_parts += [ties.astype(tab_dtype), out.astype(tab_dtype)]
+        if use_target_state:
+            send_parts.append(node_states.astype(tab_dtype))
+    recv_tab = recv_parts[0] if len(recv_parts) == 1 else jnp.concatenate(recv_parts, axis=1)
+    send_tab = send_parts[0] if len(send_parts) == 1 else jnp.concatenate(send_parts, axis=1)
+    # Receiver-keyed rows are block-local in the unified layout: the
+    # broadcast kernel streams them at dense bandwidth (padding slots read
+    # 0, masked downstream exactly like the clamped rows). Sender-keyed rows
+    # are random-access — XLA's gather stays. f64 (x64 parity tests) keeps
+    # the gather path: Mosaic has no f64 and the clamp semantics are
+    # mask-equivalent.
+    if tab_dtype in (jnp.float32, jnp.bfloat16):
+        recv_rows = adjacency_broadcast_to_edges(recv_tab, adj)
+    else:
+        recv_rows = jnp.take(recv_tab, jnp.minimum(adj.receivers, n - 1), axis=0)
+    send_rows = jnp.take(send_tab, jnp.minimum(adj.senders, n - 1), axis=0)
+    g_e_recv = recv_rows[:, :m].astype(compute_dtype)
+    g_e_send = send_rows[:, :m].astype(compute_dtype)
+    if value_tie:
+        ties_recv = recv_rows[:, m:2 * m].astype(ties.dtype)
+        x_recv = recv_rows[:, 2 * m:2 * m + d].astype(node_states.dtype)
+        ties_send = send_rows[:, m:2 * m].astype(ties.dtype)
+        out_send = send_rows[:, 2 * m:3 * m].astype(jnp.float32)
+        x_send = (
+            send_rows[:, 3 * m:3 * m + d].astype(node_states.dtype)
+            if use_target_state else None
+        )
+
     def route_primary():
         """Per-edge message cotangent, primary orientation, gathers only."""
-        g_e = jnp.take(g, adj.receivers, axis=0, mode="fill", fill_value=0.0)
+        g_e = g_e_recv
         if reduction in ("sum", "add"):
             d_msgs = g_e
         elif reduction == "mean":
@@ -276,14 +347,13 @@ def _fused_bwd(num_nodes, reduction, use_target_state, dropout_keep, res, g):
             d_msgs = (slots == arg_e).astype(g_e.dtype) * g_e
         else:
             # value-based tie-splitting (jax segment_max semantics)
-            ties_e = jnp.take(ties, adj.receivers, axis=0, mode="fill", fill_value=1.0)
-            d_msgs = _indicator_p * g_e / jnp.maximum(ties_e, 1.0)
+            d_msgs = _indicator_p * g_e / jnp.maximum(ties_recv, 1.0)
         return jnp.where(adj.mask[:, None], d_msgs, jnp.zeros((), d_msgs.dtype))
 
     def route_transpose():
         """Cotangent of each slot's PAIR edge, from per-node arrays gathered
         through this slot's own endpoints."""
-        g_e = jnp.take(g, adj.senders, axis=0, mode="fill", fill_value=0.0)
+        g_e = g_e_send
         if reduction in ("sum", "add"):
             d_msgs = g_e
         elif reduction == "mean":
@@ -305,34 +375,29 @@ def _fused_bwd(num_nodes, reduction, use_target_state, dropout_keep, res, g):
             d_msgs = indicator * g_e
         else:
             # value-based: recompute the pair's message in transpose
-            # orientation and compare against the aggregated extremum at v
-            _, msgs_tr = _forward_parts(
-                node_states, weight_stack, (adj.receivers, adj.senders),
-                use_target_state=use_target_state, drop_mask=drop_tr,
-                tile_types=adj.tile_types_transposed,
+            # orientation (inputs come from the batched gathers above) and
+            # compare against the aggregated extremum at v
+            inp_tr = jnp.concatenate([x_recv, x_send], axis=-1) if use_target_state else x_recv
+            if drop_tr is not None:
+                keep = drop_tr[2]
+                inp_tr = jnp.where(
+                    _keyed_dropout_mask(drop_tr[0], drop_tr[1], inp_tr.shape[1], 1.0 - keep),
+                    inp_tr / jnp.asarray(keep, inp_tr.dtype),
+                    jnp.zeros((), inp_tr.dtype),
+                )
+            msgs_tr = typed_tile_matmul(
+                inp_tr, weight_stack, adj.tile_types_transposed, tile
             )
-            out_f = out.astype(jnp.float32)
-            out_v = jnp.take(out_f, adj.senders, axis=0, mode="fill", fill_value=_BIG)
             indicator = jnp.logical_and(
-                msgs_tr.astype(jnp.float32) == out_v, adj.mask[:, None]
+                msgs_tr.astype(jnp.float32) == out_send, adj.mask[:, None]
             ).astype(g_e.dtype)
-            ties_e = jnp.take(ties, adj.senders, axis=0, mode="fill", fill_value=1.0)
-            d_msgs = indicator * g_e / jnp.maximum(ties_e, 1.0)
+            d_msgs = indicator * g_e / jnp.maximum(ties_send, 1.0)
         return jnp.where(adj.mask[:, None], d_msgs, jnp.zeros((), d_msgs.dtype))
 
     d_msgs = route_primary()
 
-    # dW: per-tile inp^T @ d_msgs, segment-summed by tile type (inputs are
-    # recomputed by gathers — except in the extremum case, where the tie
-    # pass already gathered them; messages are never rematerialized).
-    if inp_p is not None:
-        inp = inp_p
-    else:
-        inp, _ = _forward_parts(
-            node_states, weight_stack, (adj.senders, adj.receivers),
-            use_target_state=use_target_state, drop_mask=drop,
-            tile_types=adj.tile_types, compute_messages=False,
-        )
+    # dW: per-tile inp^T @ d_msgs, segment-summed by tile type, from the
+    # saved forward input; messages are never rematerialized.
     n_tiles = adj.tile_types.shape[0]
     din = inp.shape[1]
     m = d_msgs.shape[1]

@@ -210,6 +210,110 @@ def _sum_kernel(tile_rb_ref, rows_row_ref, data_ref, out_ref):
         out_ref[:] = out_ref[:] + contrib
 
 
+def _broadcast_kernel(tile_rb_ref, local_rows_ref, node_ref, out_ref):
+    """Inverse of the aggregation: route node-block rows OUT to edge slots.
+
+    out[agg_tile, D] = onehot(local_rows)[agg_tile, R] @ node_block[R, D].
+    One-hot selection is exact at any matmul precision (each output row sums
+    exactly one 1.0 * v product, and 1.0 is exact in bf16). Padding slots
+    carry the sentinel row R, match nothing, and come out 0 — the fill value
+    every consumer wants. Each output tile is written exactly once (no
+    revisiting/accumulation), and the node block stays VMEM-resident across
+    the consecutive tiles that map to it, so the whole op is one sequential
+    read of the table and one sequential write of the edge rows — a
+    dense-bandwidth replacement for XLA's row-at-a-time gather (4-6x on
+    v5e at bench shapes)."""
+    del tile_rb_ref  # consumed by the node BlockSpec index_map
+    r = node_ref.shape[0]
+    tile = local_rows_ref.shape[0]
+    onehot = (
+        local_rows_ref[:] == jax.lax.broadcasted_iota(jnp.int32, (tile, r), 1)
+    ).astype(node_ref.dtype)  # [agg_tile, R]
+    # bf16 runs one exact MXU pass (selection of bf16 values is exact: each
+    # output row sums exactly one 1.0 * v product). f32 needs HIGHEST for
+    # exact reconstruction (Mosaic rejects HIGH, and DEFAULT rounds f32
+    # through one bf16 pass); the hot AMP paths are all bf16.
+    precision = (
+        jax.lax.Precision.DEFAULT
+        if node_ref.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+    out_ref[:] = jax.lax.dot_general(
+        onehot,
+        node_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    ).astype(out_ref.dtype)
+
+
+@jax.custom_vjp
+def planned_broadcast_to_edges(table, receivers, plan):
+    """[N, D] node table -> [E_sorted, D] per-edge rows (table[receivers]),
+    in plan order. Padding slots (plan sentinel) read 0. The table is padded
+    up to the plan's row-block grid; receivers are only used by the VJP
+    (scatter-add = the sum kernel)."""
+    num_tiles = plan.tile_row_blocks.shape[0]
+    agg_tile = plan.local_rows.shape[0] // num_tiles
+    num_row_blocks, r = plan.counts.shape
+    d = table.shape[1]
+    padded_rows = num_row_blocks * r
+    if table.shape[0] < padded_rows:
+        table = jnp.pad(table, ((0, padded_rows - table.shape[0]), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # tile_row_blocks
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((agg_tile, 1), lambda t, rb: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, d), lambda t, rb: (rb[t], 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (agg_tile, d), lambda t, rb: (t, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        _broadcast_kernel,
+        out_shape=jax.ShapeDtypeStruct((num_tiles * agg_tile, d), table.dtype),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_tiles * agg_tile * r * d,
+            bytes_accessed=(num_tiles * agg_tile + num_row_blocks * r)
+            * d
+            * table.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(plan.tile_row_blocks, plan.local_rows, table)
+
+
+def _broadcast_fwd(table, receivers, plan):
+    out = planned_broadcast_to_edges(table, receivers, plan)
+    return out, (receivers, plan, table.shape[0])
+
+
+def _broadcast_bwd(res, g):
+    receivers, plan, n = res
+    # g is already in PLAN order (the forward's output order), so the sum
+    # kernel must not re-permute it; padding slots contribute nothing (the
+    # sum kernel's one-hot drops the sentinel rows regardless of g there).
+    d_table = planned_segment_sum(g, receivers, plan._replace(perm=None), n)
+    return d_table.astype(g.dtype), None, None
+
+
+planned_broadcast_to_edges.defvjp(_broadcast_fwd, _broadcast_bwd)
+
+
+def adjacency_broadcast_to_edges(table, adj):
+    """table[adj.receivers] over the batch's unified layout (identity plan
+    order), with 0 at padding slots — the gather dual of
+    ``adjacency_segment_reduce``. Runs on the supertile plan when the batch
+    aligned one (4x fewer sequential grid steps; the broadcast needs only
+    tile -> single-row-block, not receiver sortedness within a tile)."""
+    return planned_broadcast_to_edges(
+        table, adj.receivers, sum_plan_from_adjacency(adj)
+    )
+
+
 def _use_bf16_selection() -> bool:
     # DISABLED: single-pass bf16 selection (exact for one-hot selection of
     # bf16-valued run extrema) hangs Mosaic at compile on v5e through this
@@ -360,12 +464,25 @@ def planned_segment_sum(data, receivers, plan, num_nodes: int):
 
 
 def _planned_sum_fwd(data, receivers, plan, num_nodes):
-    return planned_segment_sum(data, receivers, plan, num_nodes), (receivers,)
+    return planned_segment_sum(data, receivers, plan, num_nodes), (
+        receivers,
+        _planned_sum_fwd_res_plan(plan),
+    )
+
+
+def _planned_sum_fwd_res_plan(plan):
+    """Plans in identity order (the unified layout) let the backward use the
+    block-local broadcast kernel; permuted plans would emit plan order, not
+    edge order, so they keep the XLA gather."""
+    return plan if plan.perm is None else None
 
 
 def _planned_sum_bwd(num_nodes, res, g):
-    (receivers,) = res
-    g_data = jnp.take(g, receivers, axis=0, mode="fill", fill_value=0.0)
+    receivers, plan = res
+    if plan is not None and g.dtype in (jnp.float32, jnp.bfloat16):
+        g_data = planned_broadcast_to_edges(g, receivers, plan)
+    else:
+        g_data = jnp.take(g, receivers, axis=0, mode="fill", fill_value=0.0)
     return g_data, None, None
 
 
@@ -399,6 +516,25 @@ def _planned_ext_fwd(data, receivers, plan, num_nodes, is_max):
 
 def _planned_ext_bwd(num_nodes, is_max, res, g):
     data, receivers, plan, out = res
+    id_plan = _planned_sum_fwd_res_plan(plan)
+    if id_plan is not None and g.dtype in (jnp.float32, jnp.bfloat16):
+        # Identity-order plan: the receiver-keyed lookups are block-local —
+        # one widened broadcast (out | g) plus one for ties, instead of
+        # three gathers. Padding slots read 0 rows: is_ext there compares
+        # data (masked to +-_BIG on every aggregation path) against 0 ->
+        # false, and their g row is 0, so their cotangent is 0 — the same
+        # slots the gather path zeroed via fill values.
+        d = out.shape[1]
+        rows = planned_broadcast_to_edges(
+            jnp.concatenate([out, g.astype(out.dtype)], axis=1), receivers, id_plan
+        )
+        is_ext = (data == rows[:, :d]).astype(jnp.float32)
+        ties = planned_segment_sum(is_ext, receivers, id_plan, num_nodes)
+        ties_per_edge = jnp.maximum(
+            planned_broadcast_to_edges(ties, receivers, id_plan), 1.0
+        )
+        g_per_edge = rows[:, d:].astype(g.dtype)
+        return is_ext * g_per_edge / ties_per_edge, None, None
     out_per_edge = jnp.take(out, receivers, axis=0, mode="fill", fill_value=_BIG)
     is_ext = (data == out_per_edge).astype(jnp.float32)
     ties = planned_segment_sum(is_ext, receivers, plan, num_nodes)
