@@ -315,7 +315,8 @@ def _fused_bwd(num_nodes, reduction, use_target_state, dropout_keep, res, g):
     # are random-access — XLA's gather stays. f64 (x64 parity tests) keeps
     # the gather path: Mosaic has no f64 and the clamp semantics are
     # mask-equivalent.
-    if tab_dtype in (jnp.float32, jnp.bfloat16):
+    recv_zeroed = tab_dtype in (jnp.float32, jnp.bfloat16)
+    if recv_zeroed:
         recv_rows = adjacency_broadcast_to_edges(recv_tab, adj)
     else:
         recv_rows = jnp.take(recv_tab, jnp.minimum(adj.receivers, n - 1), axis=0)
@@ -348,6 +349,11 @@ def _fused_bwd(num_nodes, reduction, use_target_state, dropout_keep, res, g):
         else:
             # value-based tie-splitting (jax segment_max semantics)
             d_msgs = _indicator_p * g_e / jnp.maximum(ties_recv, 1.0)
+        if recv_zeroed and args is None:
+            # the broadcast kernel already zeroed padding rows of g_e (and
+            # the tie indicator carries the mask conjunction), so the
+            # [E, M] masking select is a no-op — skip its HBM round trip
+            return d_msgs
         return jnp.where(adj.mask[:, None], d_msgs, jnp.zeros((), d_msgs.dtype))
 
     def route_transpose():
