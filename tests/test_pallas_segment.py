@@ -259,3 +259,94 @@ def test_planned_reduce_bf16_exact(reduction, monkeypatch):
     else:
         np.testing.assert_array_equal(out, expected)  # pure selection: exact
     assert np.allclose(out[39], 0.0) and np.allclose(out[40:], 0.0)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, "bfloat16"])
+def test_broadcast_to_edges_matches_take(dtype):
+    """planned_broadcast_to_edges == table[receivers] in plan order, BITWISE
+    (one-hot selection), with 0 at padding slots."""
+    data, recv, mask, plan, N = make_case()
+    rng = np.random.RandomState(3)
+    table = jnp.asarray(rng.randn(N, 48).astype(np.float32))
+    if dtype == "bfloat16":
+        table = table.astype(jnp.bfloat16)
+    out = np.asarray(
+        sk.planned_broadcast_to_edges(table, jnp.asarray(recv), plan).astype(jnp.float32)
+    )
+    perm = np.asarray(plan.perm)
+    expected = np.zeros((perm.size, 48), np.float32)
+    valid = perm < len(recv)
+    rows = recv[perm[valid]]
+    in_range = rows < N
+    expected[np.nonzero(valid)[0][in_range]] = np.asarray(
+        table.astype(jnp.float32)
+    )[rows[in_range]]
+    np.testing.assert_array_equal(out, expected)
+
+
+def test_broadcast_vjp_is_segment_sum():
+    """d table of sum(broadcast(table) * w) == scatter-add of w by receiver
+    (padding slots contribute nothing)."""
+    data, recv, mask, plan, N = make_case()
+    rng = np.random.RandomState(4)
+    table = jnp.asarray(rng.randn(N, 32).astype(np.float32))
+    w = jnp.asarray(rng.randn(plan.perm.shape[0], 32).astype(np.float32))
+
+    def f(t):
+        return (sk.planned_broadcast_to_edges(t, jnp.asarray(recv), plan) * w).sum()
+
+    got = np.asarray(jax.grad(f)(table))
+    expected = np.zeros((N, 32), np.float32)
+    perm = np.asarray(plan.perm)
+    valid = np.logical_and(perm < len(recv), np.asarray(mask)[np.minimum(perm, len(recv) - 1)])
+    np.add.at(expected, recv[perm[valid]], np.asarray(w)[valid])
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_adjacency_broadcast_supertile_bitwise():
+    """The adjacency-level broadcast (supertile plan) equals the masked take
+    on a real batcher layout, bitwise, for f32 and bf16."""
+    pad, batch = _batch_with_super()
+    adj = jax.tree_util.tree_map(jnp.asarray, batch.adjacency)
+    rng = np.random.RandomState(5)
+    for dt in (jnp.float32, jnp.bfloat16):
+        table = jnp.asarray(rng.randn(pad.max_nodes, 24).astype(np.float32)).astype(dt)
+        out = np.asarray(sk.adjacency_broadcast_to_edges(table, adj).astype(jnp.float32))
+        recv = np.asarray(adj.receivers)
+        safe = np.minimum(recv, pad.max_nodes - 1)
+        expected = np.where(
+            (recv < pad.max_nodes)[:, None] & np.asarray(adj.mask)[:, None],
+            np.asarray(table.astype(jnp.float32))[safe],
+            0.0,
+        )
+        np.testing.assert_array_equal(out, expected)
+
+
+@pytest.mark.parametrize("reduction", ["sum", "max", "min"])
+def test_adjacency_identity_plan_gradients_match_reference(reduction):
+    """Gradients through adjacency_segment_reduce on an identity-order plan
+    (the broadcast-kernel backward path) match the XLA reference segment
+    ops' gradients — covers the planned sum/extremum VJPs' broadcast route,
+    including tie splitting."""
+    from ptgnn_tpu.ops import segment_reduce
+
+    pad, batch = _batch_with_super()
+    adj = jax.tree_util.tree_map(jnp.asarray, batch.adjacency)
+    rng = np.random.RandomState(6)
+    base = rng.randn(adj.senders.shape[0], 8).astype(np.float32)
+    # inject exact ties inside and across tiles so tie-splitting is exercised
+    base[3] = base[2]
+    base[10] = base[2]
+    data = jnp.asarray(base)
+
+    def planned_loss(d):
+        out = sk.adjacency_segment_reduce(d, adj, pad.max_nodes, reduction, adj.mask)
+        return (out * jnp.arange(out.size, dtype=jnp.float32).reshape(out.shape)).sum()
+
+    def ref_loss(d):
+        out = segment_reduce(d, adj.receivers, pad.max_nodes, reduction, mask=adj.mask)
+        return (out * jnp.arange(out.size, dtype=jnp.float32).reshape(out.shape)).sum()
+
+    got = np.asarray(jax.grad(planned_loss)(data))
+    expected = np.asarray(jax.grad(ref_loss)(data))
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
