@@ -303,15 +303,37 @@ def _broadcast_bwd(res, g):
 planned_broadcast_to_edges.defvjp(_broadcast_fwd, _broadcast_bwd)
 
 
+def _broadcast_min_tile() -> int:
+    """Below this grid tile the kernel is sequential-grid-overhead-bound and
+    loses to XLA's gather (v5e: 128-edge tiles floor at ~85 us per [49k, 64]
+    call vs the gather's ~76 us; 512-edge supertiles run at ~30-50 us).
+    Overridable for tests/tuning."""
+    import os
+
+    return int(os.environ.get("PTGNN_TPU_BCAST_MIN_TILE", "256"))
+
+
+def masked_take_rows(table, receivers, num_rows):
+    """table[receivers] with 0 at out-of-range slots — the XLA-gather twin
+    of the broadcast kernel (consumers rely on zeroed padding rows)."""
+    safe = jnp.minimum(receivers, num_rows - 1)
+    rows = jnp.take(table, safe, axis=0)
+    return jnp.where((receivers < num_rows)[:, None], rows, jnp.zeros((), rows.dtype))
+
+
 def adjacency_broadcast_to_edges(table, adj):
     """table[adj.receivers] over the batch's unified layout (identity plan
     order), with 0 at padding slots — the gather dual of
-    ``adjacency_segment_reduce``. Runs on the supertile plan when the batch
-    aligned one (4x fewer sequential grid steps; the broadcast needs only
-    tile -> single-row-block, not receiver sortedness within a tile)."""
-    return planned_broadcast_to_edges(
-        table, adj.receivers, sum_plan_from_adjacency(adj)
-    )
+    ``adjacency_segment_reduce``. Runs the Pallas kernel on the supertile
+    plan when the batch aligned one (the broadcast needs only tile ->
+    single-row-block, not receiver sortedness within a tile); small-tile
+    layouts keep XLA's gather, which beats the kernel's grid overhead
+    there (see _broadcast_min_tile)."""
+    plan = sum_plan_from_adjacency(adj)
+    agg_tile = plan.local_rows.shape[0] // plan.tile_row_blocks.shape[0]
+    if agg_tile < _broadcast_min_tile():
+        return masked_take_rows(table, adj.receivers, table.shape[0])
+    return planned_broadcast_to_edges(table, adj.receivers, plan)
 
 
 def _use_bf16_selection() -> bool:
@@ -479,7 +501,12 @@ def _planned_sum_fwd_res_plan(plan):
 
 def _planned_sum_bwd(num_nodes, res, g):
     receivers, plan = res
-    if plan is not None and g.dtype in (jnp.float32, jnp.bfloat16):
+    if (
+        plan is not None
+        and g.dtype in (jnp.float32, jnp.bfloat16)
+        and plan.local_rows.shape[0] // plan.tile_row_blocks.shape[0]
+        >= _broadcast_min_tile()
+    ):
         g_data = planned_broadcast_to_edges(g, receivers, plan)
     else:
         g_data = jnp.take(g, receivers, axis=0, mode="fill", fill_value=0.0)
@@ -517,7 +544,12 @@ def _planned_ext_fwd(data, receivers, plan, num_nodes, is_max):
 def _planned_ext_bwd(num_nodes, is_max, res, g):
     data, receivers, plan, out = res
     id_plan = _planned_sum_fwd_res_plan(plan)
-    if id_plan is not None and g.dtype in (jnp.float32, jnp.bfloat16):
+    if (
+        id_plan is not None
+        and g.dtype in (jnp.float32, jnp.bfloat16)
+        and id_plan.local_rows.shape[0] // id_plan.tile_row_blocks.shape[0]
+        >= _broadcast_min_tile()
+    ):
         # Identity-order plan: the receiver-keyed lookups are block-local —
         # one widened broadcast (out | g) plus one for ties, instead of
         # three gathers. Padding slots read 0 rows: is_ext there compares

@@ -41,8 +41,12 @@ from ptgnn_tpu.implementations.varmisuse.train import create_var_misuse_gnn_mode
 from ptgnn_tpu.utils.synthetic import synthetic_varmisuse_samples
 
 HIDDEN = 32
-EPOCHS = 10
-SEEDS = (0, 1, 2)
+# 20 epochs: at 10-16 epochs either side's training occasionally sticks at a
+# half-learned plateau (~0.5-0.7 accuracy) depending on init seed; at 20 both
+# sides reach ~1.0 on every measured seed (best-checkpoint selection on the
+# Accuracy metric is monotone in epochs, so more epochs cannot hurt).
+EPOCHS = 20
+SEEDS = (0, 1, 2, 3, 4)
 
 
 def make_data():
@@ -78,6 +82,10 @@ def train_reference(train, valid, seed: int = 0) -> float:
 
     random.seed(1_000_003 * seed + 17)  # the reference's global-random shuffle
     torch.manual_seed(seed)
+    # torch's multi-threaded CPU scatter reductions are nondeterministic
+    # across runs (accumulation order); one thread makes the reference side
+    # reproducible (measured: identical accs across runs).
+    torch.set_num_threads(1)
     model = RefVarMisuse(
         gnn_model=RefGnnModel(
             node_representation_model=RefCandidateModel(
@@ -141,9 +149,13 @@ def train_ours(train, valid, seed: int = 0) -> float:
 
 @pytest.mark.slow
 def test_varmisuse_accuracy_parity_with_reference():
-    """Multi-seed band: mean candidate-selection accuracy over 3 init seeds
+    """Multi-seed band: mean candidate-selection accuracy over 5 init seeds
     within 0.02 of the reference's mean. Both sides select best checkpoints
-    on the Accuracy metric (selection-by-loss is noise at this data size)."""
+    on the Accuracy metric (selection-by-loss is noise at this data size).
+    Round-4 calibration: at EPOCHS=20 with the deterministic single-thread
+    torch side, every measured seed on both sides trains to ~1.0, so the
+    0.02 band carries real margin (at 10-16 epochs individual seeds stuck
+    at half-learned plateaus and the band flapped on seed luck)."""
     train, valid = make_data()
     ref_accs = [train_reference(train, valid, seed=s) for s in SEEDS]
     our_accs = [train_ours(train, valid, seed=s) for s in SEEDS]

@@ -19,6 +19,9 @@ from ptgnn_tpu.ops.pallas import segment_kernels as sk
 @pytest.fixture(autouse=True)
 def _force_fused(monkeypatch):
     monkeypatch.setenv("PTGNN_TPU_FORCE_PALLAS_AGG", "1")
+    # These layouts use small test tiles; force the broadcast kernel anyway
+    # so the fused backward's kernel route stays covered on CPU.
+    monkeypatch.setenv("PTGNN_TPU_BCAST_MIN_TILE", "1")
     if jax.default_backend() != "tpu":
         import jax.experimental.pallas as pl
 

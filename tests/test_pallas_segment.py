@@ -303,9 +303,10 @@ def test_broadcast_vjp_is_segment_sum():
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
 
 
-def test_adjacency_broadcast_supertile_bitwise():
+def test_adjacency_broadcast_supertile_bitwise(monkeypatch):
     """The adjacency-level broadcast (supertile plan) equals the masked take
     on a real batcher layout, bitwise, for f32 and bf16."""
+    monkeypatch.setenv("PTGNN_TPU_BCAST_MIN_TILE", "1")  # small test tiles
     pad, batch = _batch_with_super()
     adj = jax.tree_util.tree_map(jnp.asarray, batch.adjacency)
     rng = np.random.RandomState(5)
@@ -323,13 +324,14 @@ def test_adjacency_broadcast_supertile_bitwise():
 
 
 @pytest.mark.parametrize("reduction", ["sum", "max", "min"])
-def test_adjacency_identity_plan_gradients_match_reference(reduction):
+def test_adjacency_identity_plan_gradients_match_reference(reduction, monkeypatch):
     """Gradients through adjacency_segment_reduce on an identity-order plan
     (the broadcast-kernel backward path) match the XLA reference segment
     ops' gradients — covers the planned sum/extremum VJPs' broadcast route,
     including tie splitting."""
     from ptgnn_tpu.ops import segment_reduce
 
+    monkeypatch.setenv("PTGNN_TPU_BCAST_MIN_TILE", "1")  # small test tiles
     pad, batch = _batch_with_super()
     adj = jax.tree_util.tree_map(jnp.asarray, batch.adjacency)
     rng = np.random.RandomState(6)
