@@ -96,10 +96,15 @@ def _directed_edge_key(src, dst, edge_type) -> jax.Array:
 
 
 def _keyed_dropout_mask(
-    seed: jax.Array, edge_key: jax.Array, num_cols: int, rate: float
+    seed: jax.Array, edge_key: jax.Array, num_cols: int, rate: float,
+    col_offset: int = 0,
 ) -> jax.Array:
-    """[E, num_cols] keep mask from the directed edge key."""
-    col = jnp.arange(num_cols, dtype=jnp.uint32)[None, :]
+    """[E, num_cols] keep mask from the directed edge key.
+
+    ``col_offset`` shifts the column ids so a slice of the forward's mask can
+    be regenerated without computing the discarded columns (the backward only
+    consumes one half of each ``d_inp``)."""
+    col = col_offset + jnp.arange(num_cols, dtype=jnp.uint32)[None, :]
     h = _hash_u32((edge_key[:, None] ^ seed) + col * jnp.uint32(0x9E3779B9))
     threshold = jnp.uint32(int(rate * 0xFFFFFFFF))
     return h >= threshold
@@ -417,43 +422,50 @@ def _fused_bwd(num_nodes, reduction, use_target_state, dropout_keep, res, g):
         per_tile_dw, adj.tile_types, num_segments=weight_stack.shape[0]
     ).astype(weight_stack.dtype)
 
-    # d msg_input (primary orientation), for the target part.
+    # d msg_input: each orientation consumes only ONE half of its [E, Din]
+    # input-cotangent (the primary's target part; the transpose's source
+    # part), so the unused columns are never computed — the matmul contracts
+    # against the sliced weight columns (same per-element contraction over M,
+    # so the kept values are unchanged) and the dropout mask regenerates only
+    # the matching forward columns via ``col_offset``. Halves the [E, Din]
+    # write + mask work of both backward matmuls.
     w_t = jnp.swapaxes(weight_stack, 1, 2)  # [T, M, Din]
 
-    def apply_dropout_bwd(x, dm):
+    def apply_dropout_bwd(x, dm, col_offset=0):
         if dm is None:
             return x
         keep = dropout_keep
         return jnp.where(
-            _keyed_dropout_mask(dm[0], dm[1], x.shape[1], 1.0 - keep),
+            _keyed_dropout_mask(dm[0], dm[1], x.shape[1], 1.0 - keep, col_offset),
             x / jnp.asarray(keep, x.dtype),
             jnp.zeros((), x.dtype),
         )
 
     target_cotangent = None
     if use_target_state:
-        d_inp = apply_dropout_bwd(
-            typed_tile_matmul(d_msgs, w_t, adj.tile_types, tile), drop
+        target_cotangent = apply_dropout_bwd(
+            typed_tile_matmul(d_msgs, w_t[:, :, d:], adj.tile_types, tile),
+            drop, col_offset=d,
         )
-        target_cotangent = d_inp[:, d:]
 
     # ---- transpose orientation: sender part, no recompute of messages ----
     # The cotangent flows into the PAIR edge's (dropped-out) input, so its
     # mask is the pair's — the transpose-orientation key.
     d_msgs_tr = route_transpose()
-    d_inp_tr = apply_dropout_bwd(
-        typed_tile_matmul(d_msgs_tr, w_t, adj.tile_types_transposed, tile), drop_tr
+    d_inp_tr_src = apply_dropout_bwd(
+        typed_tile_matmul(d_msgs_tr, w_t[:, :, :d], adj.tile_types_transposed, tile),
+        drop_tr,
     )
 
     # One kernel call aggregates both the target-side and (transpose-derived)
     # sender-side cotangents: concat along features, split after.
     if target_cotangent is not None:
-        combined = jnp.concatenate([target_cotangent, d_inp_tr[:, :d]], axis=1)
+        combined = jnp.concatenate([target_cotangent, d_inp_tr_src], axis=1)
         agg = adjacency_segment_reduce(combined, adj, num_nodes, "sum", mask=adj.mask)
         d_x = agg[:, :d] + agg[:, d:]
     else:
         d_x = adjacency_segment_reduce(
-            d_inp_tr[:, :d], adj, num_nodes, "sum", mask=adj.mask
+            d_inp_tr_src, adj, num_nodes, "sum", mask=adj.mask
         )
 
     return d_x.astype(node_states.dtype), d_w, None
