@@ -29,6 +29,7 @@ be swapped for the C++ batch assembler without touching callers.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -163,11 +164,23 @@ def build_adjacency_struct(
         if bool(np.all(grouped == grouped[:, :1])):
             super_tile_row_blocks = np.ascontiguousarray(grouped[:, 0])
 
-    def rows_row(granularity: int):
-        # shared with the plan builder so the sublane layout can't drift
-        from ptgnn_tpu.ops.pallas.segment_kernels import replicate_rows_sublanes
+    # The kernels' 8x sublane-replicated row operands (local_rows_row[_super])
+    # are pure replications of local_rows — at 8x the edge count each they
+    # are 2/3 of a batch's host->device bytes. Deriving them on device
+    # (ops/pallas/segment_kernels.py:rows_row_operand) is interpreter-exact
+    # but feeding Pallas a computed operand HANGS Mosaic on the current v5e
+    # toolchain (reproduced 2026-08-17 and again 2026-08-20 under the
+    # one-attempt protocol; see ROUND_NOTES.md). Host-build remains the
+    # default; PTGNN_TPU_DERIVE_ROWS=1 ships only local_rows and lets the
+    # kernels derive — retry it the session the toolchain moves.
+    if os.environ.get("PTGNN_TPU_DERIVE_ROWS"):
+        rows_row = lambda granularity: None  # noqa: E731 - gated derive mode
+    else:
+        def rows_row(granularity: int):
+            # shared with the plan builder so the sublane layout can't drift
+            from ptgnn_tpu.ops.pallas.segment_kernels import replicate_rows_sublanes
 
-        return replicate_rows_sublanes(local_rows, granularity)
+            return replicate_rows_sublanes(local_rows, granularity)
 
     return AdjacencyStruct(
         senders=senders,

@@ -151,10 +151,12 @@ class AdjacencyStruct(NamedTuple):
     mask: Any  # [E_pad] bool
     tile_types_transposed: Any = None  # [n_tiles] int32 type of each tile's transpose
     local_rows: Any = None  # [E_pad, 1] int32 receiver - block*R (padding: R)
-    local_rows_row: Any = None  # [n_tiles * 8, edge_tile] int32 (sublane-replicated)
-    # [n_super * 8, agg_sum_tile] int32: same rows in supertile blocks for
-    # the sum kernel (host-built; deriving it in-trace hangs Mosaic here)
-    local_rows_row_super: Any = None
+    # Sublane-replicated copies of local_rows for the kernels' (8, T) blocks.
+    # Host-built by default; None under PTGNN_TPU_DERIVE_ROWS=1, where the
+    # kernel wrappers derive them in-trace (hangs Mosaic on the current v5e
+    # toolchain — reproduced 2026-08-17 and 2026-08-20; retry on upgrades).
+    local_rows_row: Any = None  # [n_tiles * 8, edge_tile] int32
+    local_rows_row_super: Any = None  # [n_super * 8, agg_sum_tile] int32
     tile_row_blocks: Any = None  # [n_tiles] int32 (single row block per tile)
     agg_counts: Any = None  # [num_row_blocks, R] int32 in-degrees
     # [n_super] int32, one row block per SUPERTILE of agg_sum_tile edges

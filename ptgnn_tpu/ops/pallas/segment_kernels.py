@@ -58,12 +58,32 @@ def replicate_rows_sublanes(local_rows: np.ndarray, granularity: int) -> np.ndar
     """[E] per-slot local row ids -> the kernel's [n_tiles*8, granularity]
     operand: each tile's row vector replicated over 8 sublanes so the (8, T)
     VMEM block is a natural tile shape. This IS the kernel's BlockSpec
-    contract — the batcher (graph/batching.py) builds its layout through
-    this same helper so the two can't drift."""
+    contract."""
     n = local_rows.size // granularity
     return np.repeat(
         local_rows.reshape(n, granularity), 8, axis=0
     ).reshape(n * 8, granularity)
+
+
+def rows_row_operand(plan: "AggregationPlan") -> jax.Array:
+    """The kernels' [num_tiles*8, agg_tile] sublane-replicated row operand.
+
+    When the plan does not carry it pre-materialized (``local_rows_row is
+    None`` — batches built under ``PTGNN_TPU_DERIVE_ROWS=1``, which skip
+    shipping the 8x copy host->device: it is 2/3 of a batch's transfer
+    bytes), it is derived here ON DEVICE from ``local_rows`` with one
+    broadcast+reshape, layout-identical to :func:`replicate_rows_sublanes`.
+    Interpreter-exact, but feeding Pallas this computed operand HANGS the
+    Mosaic pipeline on the current v5e toolchain (reproduced 2026-08-17,
+    2026-08-20) — hence the host-built default (graph/batching.py)."""
+    if plan.local_rows_row is not None:
+        return plan.local_rows_row
+    num_tiles = plan.tile_row_blocks.shape[0]
+    agg_tile = plan.local_rows.shape[0] // num_tiles
+    flat = plan.local_rows.reshape(num_tiles, 1, agg_tile)
+    return jnp.broadcast_to(flat, (num_tiles, 8, agg_tile)).reshape(
+        num_tiles * 8, agg_tile
+    )
 
 
 class AggregationPlan(NamedTuple):
@@ -435,7 +455,7 @@ def _run_kernel(kernel_body, plan: AggregationPlan, data_sorted: jax.Array) -> j
     in_specs.append(
         pl.BlockSpec((8, agg_tile), lambda t, rb: (t, 0), memory_space=pltpu.VMEM)
     )
-    args.append(plan.local_rows_row)
+    args.append(rows_row_operand(plan))
     in_specs.append(
         pl.BlockSpec((agg_tile, d), lambda t, rb: (t, 0), memory_space=pltpu.VMEM)
     )
@@ -648,7 +668,7 @@ def sum_plan_from_adjacency(adj) -> AggregationPlan:
     receiver sortedness inside a tile — the one-hot matmul routes arbitrary
     rows — so the sum kernel walks agg_sum_tile-edge tiles (fewer grid
     steps). Falls back to the edge-tile plan when unaligned."""
-    if adj.super_tile_row_blocks is None or adj.local_rows_row_super is None:
+    if adj.super_tile_row_blocks is None:
         return plan_from_adjacency(adj)
     return AggregationPlan(
         perm=None,
@@ -805,7 +825,7 @@ def planned_segment_extremum_with_argmax(
             jax.ShapeDtypeStruct((num_row_blocks * r, d), jnp.float32),
         ),
         grid_spec=grid_spec,
-    )(plan.tile_row_blocks, plan.local_rows, plan.local_rows_row, data_sorted)
+    )(plan.tile_row_blocks, plan.local_rows, rows_row_operand(plan), data_sorted)
     vals = vals[:num_nodes]
     args = args[:num_nodes].astype(jnp.int32)
     counts = plan.counts.reshape(-1)[:num_nodes]

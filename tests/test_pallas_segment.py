@@ -352,3 +352,41 @@ def test_adjacency_identity_plan_gradients_match_reference(reduction, monkeypatc
     got = np.asarray(jax.grad(planned_loss)(data))
     expected = np.asarray(jax.grad(ref_loss)(data))
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("reduction", ["sum", "max", "mean"])
+def test_derive_rows_mode_bitwise(reduction, monkeypatch):
+    """PTGNN_TPU_DERIVE_ROWS=1 batches ship no local_rows_row[_super]; the
+    kernel wrappers derive the sublane-replicated operand in-trace
+    (sk.rows_row_operand). Results must be BITWISE the shipped-operand
+    path's — the derivation is a pure layout replication. (Interpreter/CPU
+    coverage: the in-trace derivation hangs Mosaic on the current v5e
+    toolchain, so the gate stays off by default; see graph/batching.py.)"""
+    pad, batch_shipped = _batch_with_super(seed=9)
+    monkeypatch.setenv("PTGNN_TPU_DERIVE_ROWS", "1")
+    _, batch_derive = _batch_with_super(seed=9)
+    adj_s = jax.tree_util.tree_map(jnp.asarray, batch_shipped.adjacency)
+    adj_d = jax.tree_util.tree_map(jnp.asarray, batch_derive.adjacency)
+    assert adj_s.local_rows_row is not None
+    assert adj_d.local_rows_row is None and adj_d.local_rows_row_super is None
+    # the derived operand is layout-identical to the host-built one
+    plan_s = sk.plan_from_adjacency(adj_s)
+    plan_d = sk.plan_from_adjacency(adj_d)
+    np.testing.assert_array_equal(
+        np.asarray(sk.rows_row_operand(plan_d)), np.asarray(plan_s.local_rows_row)
+    )
+    rng = np.random.RandomState(11)
+    data = jnp.asarray(rng.randn(adj_s.senders.shape[0], 8).astype(np.float32))
+
+    def run(adj):
+        out = sk.adjacency_segment_reduce(
+            data, adj, pad.max_nodes, reduction, adj.mask,
+            counts_exact=reduction == "mean",
+        )
+        bc = sk.adjacency_broadcast_to_edges(out, adj)
+        return np.asarray(out), np.asarray(bc)
+
+    out_s, bc_s = run(adj_s)
+    out_d, bc_d = run(adj_d)
+    np.testing.assert_array_equal(out_s, out_d)
+    np.testing.assert_array_equal(bc_s, bc_d)
