@@ -306,6 +306,15 @@ def _fused_bwd(num_nodes, reduction, use_target_state, dropout_keep, res, g):
     m = g.shape[1]  # message width; node_states width d may differ
     recv_parts = [g.astype(tab_dtype)]
     send_parts = [g.astype(tab_dtype)]
+    # mean: the per-node in-degree column rides the same widened gathers
+    # (an [E]-row gather costs the same at 1 extra lane as at 0); the
+    # divisor round-trips tab_dtype exactly like the old per-use take did
+    # (it was cast to g_e.dtype before dividing). Falls back to the takes
+    # only if the counts vector doesn't align with the node tables.
+    counts_widened = reduction == "mean" and counts_flat.shape[0] == n
+    if counts_widened:
+        recv_parts.append(counts_flat[:, None].astype(tab_dtype))
+        send_parts.append(counts_flat[:, None].astype(tab_dtype))
     if value_tie:
         # x by receivers: transpose-msg src input; x by senders: its tgt
         recv_parts += [ties.astype(tab_dtype), node_states.astype(tab_dtype)]
@@ -344,8 +353,14 @@ def _fused_bwd(num_nodes, reduction, use_target_state, dropout_keep, res, g):
         if reduction in ("sum", "add"):
             d_msgs = g_e
         elif reduction == "mean":
-            cnt = jnp.take(counts_flat, adj.receivers, mode="fill", fill_value=1.0)
-            d_msgs = g_e / jnp.maximum(cnt, 1.0)[:, None].astype(g_e.dtype)
+            if counts_widened:
+                # zero-padded broadcast rows give cnt=0 -> max(,1)=1, the
+                # same divisor the old fill_value=1.0 take produced
+                cnt = recv_rows[:, m:m + 1].astype(jnp.float32)
+                d_msgs = g_e / jnp.maximum(cnt, 1.0).astype(g_e.dtype)
+            else:
+                cnt1 = jnp.take(counts_flat, adj.receivers, mode="fill", fill_value=1.0)
+                d_msgs = g_e / jnp.maximum(cnt1, 1.0)[:, None].astype(g_e.dtype)
         elif args is not None:
             # single-winner argmax routing (torch-scatter semantics)
             arg_e = jnp.take(args, adj.receivers, axis=0, mode="fill", fill_value=-2)
@@ -368,8 +383,13 @@ def _fused_bwd(num_nodes, reduction, use_target_state, dropout_keep, res, g):
         if reduction in ("sum", "add"):
             d_msgs = g_e
         elif reduction == "mean":
-            cnt = jnp.take(counts_flat, adj.senders, mode="fill", fill_value=1.0)
-            d_msgs = g_e / jnp.maximum(cnt, 1.0)[:, None].astype(g_e.dtype)
+            if counts_widened:
+                # clamped-row counts (padding slots) are masked at return
+                cnt = send_rows[:, m:m + 1].astype(jnp.float32)
+                d_msgs = g_e / jnp.maximum(cnt, 1.0).astype(g_e.dtype)
+            else:
+                cnt1 = jnp.take(counts_flat, adj.senders, mode="fill", fill_value=1.0)
+                d_msgs = g_e / jnp.maximum(cnt1, 1.0)[:, None].astype(g_e.dtype)
         elif args is not None:
             # the pair edge e = (u -> v, tau) wins at v=senders iff the
             # winning slot's (pair id, type) matches this slot's

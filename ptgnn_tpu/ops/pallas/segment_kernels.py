@@ -350,8 +350,7 @@ def adjacency_broadcast_to_edges(table, adj):
     layouts keep XLA's gather, which beats the kernel's grid overhead
     there (see _broadcast_min_tile)."""
     plan = sum_plan_from_adjacency(adj)
-    agg_tile = plan.local_rows.shape[0] // plan.tile_row_blocks.shape[0]
-    if agg_tile < _broadcast_min_tile():
+    if not _broadcast_eligible(plan, table.dtype):
         return masked_take_rows(table, adj.receivers, table.shape[0])
     return planned_broadcast_to_edges(table, adj.receivers, plan)
 
@@ -519,14 +518,24 @@ def _planned_sum_fwd_res_plan(plan):
     return plan if plan.perm is None else None
 
 
-def _planned_sum_bwd(num_nodes, res, g):
-    receivers, plan = res
-    if (
+def _broadcast_eligible(plan, dtype) -> bool:
+    """The ONE predicate for routing a receiver-keyed lookup through the
+    broadcast kernel: identity-order plan (block-local rows), a Mosaic
+    dtype, and a plan tile large enough to beat the grid overhead
+    (_broadcast_min_tile). Shared by the sum/extremum VJPs and
+    adjacency_broadcast_to_edges so the three paths cannot drift."""
+    return (
         plan is not None
-        and g.dtype in (jnp.float32, jnp.bfloat16)
+        and plan.perm is None
+        and dtype in (jnp.float32, jnp.bfloat16)
         and plan.local_rows.shape[0] // plan.tile_row_blocks.shape[0]
         >= _broadcast_min_tile()
-    ):
+    )
+
+
+def _planned_sum_bwd(num_nodes, res, g):
+    receivers, plan = res
+    if _broadcast_eligible(plan, g.dtype):
         g_data = planned_broadcast_to_edges(g, receivers, plan)
     else:
         g_data = jnp.take(g, receivers, axis=0, mode="fill", fill_value=0.0)
@@ -564,12 +573,7 @@ def _planned_ext_fwd(data, receivers, plan, num_nodes, is_max):
 def _planned_ext_bwd(num_nodes, is_max, res, g):
     data, receivers, plan, out = res
     id_plan = _planned_sum_fwd_res_plan(plan)
-    if (
-        id_plan is not None
-        and g.dtype in (jnp.float32, jnp.bfloat16)
-        and id_plan.local_rows.shape[0] // id_plan.tile_row_blocks.shape[0]
-        >= _broadcast_min_tile()
-    ):
+    if _broadcast_eligible(id_plan, g.dtype):
         # Identity-order plan: the receiver-keyed lookups are block-local —
         # one widened broadcast (out | g) plus one for ties, instead of
         # three gathers. Padding slots read 0 rows: is_ext there compares

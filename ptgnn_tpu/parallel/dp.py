@@ -58,7 +58,77 @@ def _cast_floats(tree, dtype):
     return jax.tree_util.tree_map(cast, tree)
 
 
-class DataParallel:
+class ShardedPlacementMixin:
+    """Device placement + ZeRO-1 optimizer-state plumbing shared by
+    :class:`DataParallel` and ``NodeParallel`` (parallel/node_sharding.py).
+
+    Subclasses provide ``self.mesh``, ``self.optimizer``, and the
+    ``_opt_shard_axis`` property — the mesh axis the optimizer moments shard
+    along (ZeRO-1), or None to keep them replicated."""
+
+    @property
+    def _opt_shard_axis(self):
+        raise NotImplementedError
+
+    def replicated(self):
+        return NamedSharding(self.mesh, P())
+
+    def _put(self, tree, sharding_tree):
+        """Place ``tree`` under a single sharding or a matching tree of
+        shardings. Multi-host: each process contributes its local block of
+        the globally sharded array (replicated leaves pass the full value)."""
+        if jax.process_count() == 1:
+            return jax.device_put(tree, sharding_tree)
+        if not isinstance(sharding_tree, (list, tuple, dict)) and not hasattr(
+            sharding_tree, "_fields"
+        ):
+            sharding_tree = jax.tree_util.tree_map(lambda _: sharding_tree, tree)
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.make_array_from_process_local_data(s, np.asarray(x)),
+            tree, sharding_tree,
+        )
+
+    def device_put_params(self, params):
+        return self._put(params, self.replicated())
+
+    def init_opt_state(self, params):
+        """Moments in their target shardings from the start: optimizer.init
+        on raw params would build the full replicated state first — OOM in
+        exactly the regime ZeRO-1 exists for."""
+        shard = self._opt_shard_axis is not None
+        if jax.process_count() > 1:
+            # Multi-host: materialize the state inside jit with the target
+            # output shardings (hosts can't device_put partially owned
+            # global arrays).
+            shape = jax.eval_shape(self.optimizer.init, params)
+            shardings = (
+                self._zero1_opt_sharding(shape) if shard else
+                jax.tree_util.tree_map(lambda _: self.replicated(), shape)
+            )
+            return jax.jit(self.optimizer.init, out_shardings=shardings)(params)
+        opt_state = self.optimizer.init(params)
+        if not shard:
+            return jax.device_put(opt_state, self.replicated())
+        return jax.device_put(opt_state, self._zero1_opt_sharding(opt_state))
+
+    def _zero1_opt_sharding(self, opt_state):
+        """Shard every moment tensor whose leading dim divides the axis;
+        scalars (step counts) stay replicated."""
+        axis = self._opt_shard_axis
+        size = self.mesh.shape[axis]
+
+        def leaf_sharding(leaf):
+            if (
+                hasattr(leaf, "ndim") and leaf.ndim >= 1
+                and leaf.shape[0] > 0 and leaf.shape[0] % size == 0
+            ):
+                return NamedSharding(self.mesh, P(axis))
+            return self.replicated()
+
+        return jax.tree_util.tree_map(leaf_sharding, opt_state)
+
+
+class DataParallel(ShardedPlacementMixin):
     """Builds jitted SPMD train/eval steps for a module over a mesh.
 
     The module protocol matches ModelTrainer's: ``module.apply(params,
@@ -89,9 +159,10 @@ class DataParallel:
         self.zero1 = zero1
         self.num_devices = mesh.shape[axis]
 
-    # -- sharding helpers -------------------------------------------------
-    def replicated(self):
-        return NamedSharding(self.mesh, P())
+    # -- sharding helpers (placement/ZeRO-1 live in ShardedPlacementMixin) --
+    @property
+    def _opt_shard_axis(self):
+        return self.axis if self.zero1 else None
 
     def batch_sharding(self):
         return NamedSharding(self.mesh, P(self.axis))
@@ -102,19 +173,6 @@ class DataParallel:
         single-controller runs; the per-host group size under multi-host)."""
         return sum(1 for d in self.mesh.devices.flat if d.process_index == jax.process_index())
 
-    def _put(self, tree, sharding):
-        if jax.process_count() == 1:
-            return jax.device_put(tree, sharding)
-        # Multi-host: each process contributes its local block of the
-        # globally sharded array (replicated leaves pass the full value).
-        return jax.tree_util.tree_map(
-            lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
-            tree,
-        )
-
-    def device_put_params(self, params):
-        return self._put(params, self.replicated())
-
     def device_put_batch(self, stacked_mb):
         """stacked_mb's leading axis is num_local_devices under multi-host
         (each host stacks only its own group) or num_devices otherwise."""
@@ -122,41 +180,6 @@ class DataParallel:
 
     def device_put_weights(self, weights):
         return self._put(np.asarray(weights, np.float32), self.batch_sharding())
-
-    # -- optimizer state --------------------------------------------------
-    def init_opt_state(self, params):
-        if jax.process_count() > 1:
-            # Multi-host: materialize the state inside jit with the target
-            # output shardings (hosts can't device_put partially owned
-            # global arrays).
-            shape = jax.eval_shape(self.optimizer.init, params)
-            shardings = (
-                self._zero1_opt_sharding(shape) if self.zero1 else
-                jax.tree_util.tree_map(lambda _: self.replicated(), shape)
-            )
-            return jax.jit(self.optimizer.init, out_shardings=shardings)(params)
-        opt_state = self.optimizer.init(params)
-        if not self.zero1:
-            return jax.device_put(opt_state, self.replicated())
-        return jax.device_put(opt_state, self._zero1_opt_sharding(opt_state))
-
-    def _zero1_shardable(self, leaf) -> bool:
-        return (
-            hasattr(leaf, "ndim")
-            and leaf.ndim >= 1
-            and leaf.shape[0] % self.num_devices == 0
-            and leaf.shape[0] > 0
-        )
-
-    def _zero1_opt_sharding(self, opt_state):
-        """Shard every moment tensor whose leading dim divides the mesh;
-        scalars (step counts) stay replicated."""
-        return jax.tree_util.tree_map(
-            lambda leaf: NamedSharding(self.mesh, P(self.axis))
-            if self._zero1_shardable(leaf)
-            else self.replicated(),
-            opt_state,
-        )
 
     # -- step builders ----------------------------------------------------
     def _loss_fn(self, params, minibatch, rng, train: bool):

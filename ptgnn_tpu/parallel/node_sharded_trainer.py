@@ -91,6 +91,13 @@ class NodeShardedModelTrainer(DistributedModelTrainer):
         self._reorder = reorder
         self._np: Optional[NodeParallel] = None
         self._epoch_shard_stats = self._fresh_stats()
+        # True when the current budgets were probed from a validation pass
+        # (validate_on_start runs before any training step): the first
+        # TRAINING pass re-probes and takes the elementwise max, so budgets
+        # calibrated on a small validation fold cannot silently skip
+        # training batches all run long.
+        self._budgets_provisional = False
+        self._in_validation = False
 
     # ------------------------------------------------------------------
     @property
@@ -131,52 +138,81 @@ class NodeShardedModelTrainer(DistributedModelTrainer):
 
     # -- budget probing -----------------------------------------------------
     def _probe_budgets(self, head: List[Any]) -> Dict[str, int]:
-        budgets = suggest_budgets(
-            [mb for mb, _ in head], self.node_shards, reorder=self._reorder
-        )
-        # Headroom-padded slot counts must stay multiples of the layout's
-        # SUPER-TILE size (tile * row-block group), not just the tile — the
-        # per-shard layout assembly groups tiles into row blocks.
-        align = 128
+        keys = ("boundary_budget", "interior_slots", "boundary_slots")
         if head:
+            budgets = suggest_budgets(
+                [mb for mb, _ in head], self.node_shards, reorder=self._reorder
+            )
+            # Headroom-padded slot counts must stay multiples of the layout's
+            # SUPER-TILE size (tile * row-block group), not just the tile —
+            # the per-shard layout assembly groups tiles into row blocks.
             adj = head[0][0]["batch"].adjacency
             align = adj.edge_tile
             if adj.super_tile_row_blocks is not None:
                 align = adj.senders.shape[0] // adj.super_tile_row_blocks.shape[0]
-        ceil_to = lambda n, k: -(-max(int(n), 1) // k) * k
-        h = self._budget_headroom
-        budgets = {
-            "boundary_budget": ceil_to(budgets["boundary_budget"] * h, 8),
-            "interior_slots": ceil_to(budgets["interior_slots"] * h, align),
-            "boundary_slots": ceil_to(budgets["boundary_slots"] * h, align),
-        }
+            ceil_to = lambda n, k: -(-max(int(n), 1) // k) * k
+            h = self._budget_headroom
+            budgets = {
+                "boundary_budget": ceil_to(budgets["boundary_budget"] * h, 8),
+                "interior_slots": ceil_to(budgets["interior_slots"] * h, align),
+                "boundary_slots": ceil_to(budgets["boundary_slots"] * h, align),
+            }
+        else:
+            # A host whose shard is empty still participates in the
+            # multi-host agreement below (peers would otherwise block in the
+            # allgather forever) and contributes zeros to the max.
+            budgets = {k: 0 for k in keys}
         if jax.process_count() > 1:
             # All hosts must compile identical static shapes: agree on the
             # elementwise max of every host's probed budgets.
             from jax.experimental import multihost_utils
 
-            keys = sorted(budgets)
             local = np.asarray([budgets[k] for k in keys], np.int64)
             all_vals = multihost_utils.process_allgather(local)
             budgets = {
                 k: int(v) for k, v in zip(keys, np.max(all_vals, axis=0))
             }
+        assert budgets["interior_slots"] > 0, (
+            "no minibatches available on any host to probe node-sharding "
+            "budgets"
+        )
         return budgets
 
     def _ensure_budgets(self, minibatch_iterator):
-        if self._np.has_budgets:
+        training = not self._in_validation
+        if self._np.has_budgets and not (training and self._budgets_provisional):
             return minibatch_iterator
         head = list(
             itertools.islice(minibatch_iterator, self._budget_probe_batches)
         )
-        assert head, "no minibatches available to probe node-sharding budgets"
-        self._budgets = self._probe_budgets(head)
-        self._np.set_budgets(**self._budgets)
+        probed = self._probe_budgets(head)
+        if self._budgets:
+            # never shrink below the (validation-)provisional budgets, or
+            # later validation batches would start skipping
+            probed = {k: max(v, self._budgets[k]) for k, v in probed.items()}
+        self._budgets = probed
+        self._np.set_budgets(**probed)
+        # Budgets probed before any training pass (validate_on_start) are
+        # provisional: training graphs can be systematically larger than the
+        # validation fold's, and freezing on the smaller fold would skip
+        # training batches all run long. The first training pass re-probes.
+        self._budgets_provisional = not training
         self.LOGGER.info(
-            "Node-sharding budgets probed over %d batches (headroom %.2fx): %s",
-            len(head), self._budget_headroom, self._budgets,
+            "Node-sharding budgets probed over %d %s batches "
+            "(headroom %.2fx%s): %s",
+            len(head), "training" if training else "validation",
+            self._budget_headroom,
+            ", provisional until the first training pass" if not training else "",
+            self._budgets,
         )
         return itertools.chain(head, minibatch_iterator)
+
+    def _run_validation(self, *args, **kwargs):
+        self._in_validation = True
+        try:
+            return super()._run_validation(*args, **kwargs)
+        finally:
+            self._in_validation = False
 
     # -- grouping hooks (see DistributedModelTrainer._group_minibatches) ----
     def _fresh_stats(self) -> Dict[str, float]:

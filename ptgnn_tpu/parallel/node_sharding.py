@@ -36,6 +36,7 @@ from ptgnn_tpu.graph.batching import (
     _seg_counts_of,
 )
 from ptgnn_tpu.graph.structs import AdjacencyStruct, GraphBatch
+from ptgnn_tpu.parallel.dp import ShardedPlacementMixin
 
 
 class BoundaryBudgetError(ValueError):
@@ -581,7 +582,7 @@ def node_sharded_linear_message_aggregation(
 # ---------------------------------------------------------------------------
 # Train-step builder
 # ---------------------------------------------------------------------------
-class NodeParallel:
+class NodeParallel(ShardedPlacementMixin):
     """Train-step builder partitioning one batch's NODES (and their incoming
     edges) across a mesh axis. Parameters and the task head stay replicated;
     per layer each shard exchanges only boundary sender features. See the
@@ -619,6 +620,27 @@ class NodeParallel:
         self.zero1 = zero1
         self.num_shards = mesh.shape[axis]
         self.data_size = mesh.shape[data_axis] if data_axis is not None else 1
+        if jax.process_count() > 1:
+            # Every node group must live inside ONE process: the host feeding
+            # a group prepares that group's batch, and hosts rank-shard their
+            # data (parallel/distributed_trainer.py), so a node axis spanning
+            # processes would assemble shards of DIFFERENT batches into one
+            # "global" batch via make_array_from_process_local_data — silent
+            # garbage, not an error. Scale across hosts with the data axis.
+            node_dim = mesh.axis_names.index(axis)
+            groups = np.moveaxis(mesh.devices, node_dim, -1).reshape(
+                -1, self.num_shards
+            )
+            for row in groups:
+                procs = {d.process_index for d in row}
+                if len(procs) > 1:
+                    raise NotImplementedError(
+                        "NodeParallel: a node group spans processes "
+                        f"{sorted(procs)} — each host rank-shards its data, "
+                        "so cross-process node groups would mix different "
+                        "batches. Keep node_shards <= devices-per-host and "
+                        "put the data axis across hosts."
+                    )
         self.set_budgets(
             boundary_budget=boundary_budget,
             interior_slots=interior_slots,
@@ -756,16 +778,21 @@ class NodeParallel:
 
         return jax.jit(train_step, donate_argnums=(0, 1))
 
-    # -- trainer interface (DataParallel-compatible, parallel/dp.py) -------
-    def replicated(self):
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        return NamedSharding(self.mesh, P())
+    # -- trainer interface (DataParallel-compatible; placement/ZeRO-1 live
+    # in dp.ShardedPlacementMixin) ------------------------------------------
+    @property
+    def _opt_shard_axis(self):
+        # ZeRO-1 shards the moments over the DATA axis (node-sharded batches
+        # share one parameter set per data row).
+        if self.zero1 and self.data_axis is not None and self.data_size > 1:
+            return self.data_axis
+        return None
 
     @property
     def num_local_devices(self) -> int:
-        """DATA-group slots this process feeds per step (1 when there is no
-        data axis: every host cooperates on the same node-sharded batch)."""
+        """DATA-group slots this process feeds per step. No data axis means
+        one group total (multi-process without a data axis is rejected at
+        construction: node groups may not span processes)."""
         if self.data_axis is None:
             return 1
         local = sum(
@@ -773,23 +800,6 @@ class NodeParallel:
             if d.process_index == jax.process_index()
         )
         return max(1, local // self.num_shards)
-
-    def _put(self, tree, sharding_tree):
-        if jax.process_count() == 1:
-            return jax.device_put(tree, sharding_tree)
-        if not isinstance(sharding_tree, (list, tuple, dict)) and not hasattr(
-            sharding_tree, "_fields"
-        ):
-            sharding_tree = jax.tree_util.tree_map(
-                lambda _: sharding_tree, tree
-            )
-        return jax.tree_util.tree_map(
-            lambda x, s: jax.make_array_from_process_local_data(s, np.asarray(x)),
-            tree, sharding_tree,
-        )
-
-    def device_put_params(self, params):
-        return self._put(params, self.replicated())
 
     def device_put_batch(self, stacked_group):
         """Place one stacked [D, ...] group of node-sharded minibatches with
@@ -811,40 +821,6 @@ class NodeParallel:
         return self._put(
             np.asarray(weights, np.float32), NamedSharding(self.mesh, spec)
         )
-
-    def init_opt_state(self, params):
-        """Moments in their target shardings from the start (ZeRO-1 over the
-        data axis when enabled; replicated otherwise)."""
-        if jax.process_count() > 1:
-            shape = jax.eval_shape(self.optimizer.init, params)
-            shardings = (
-                self._zero1_opt_sharding(shape)
-                if self._use_zero1
-                else jax.tree_util.tree_map(lambda _: self.replicated(), shape)
-            )
-            return jax.jit(self.optimizer.init, out_shardings=shardings)(params)
-        opt_state = self.optimizer.init(params)
-        if not self._use_zero1:
-            return jax.device_put(opt_state, self.replicated())
-        return jax.device_put(opt_state, self._zero1_opt_sharding(opt_state))
-
-    @property
-    def _use_zero1(self) -> bool:
-        return self.zero1 and self.data_axis is not None and self.data_size > 1
-
-    def _zero1_opt_sharding(self, opt_state):
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        def leaf_sharding(leaf):
-            if (
-                hasattr(leaf, "ndim") and leaf.ndim >= 1
-                and leaf.shape[0] > 0
-                and leaf.shape[0] % self.data_size == 0
-            ):
-                return NamedSharding(self.mesh, P(self.data_axis))
-            return self.replicated()
-
-        return jax.tree_util.tree_map(leaf_sharding, opt_state)
 
     def _build_group_loss_fn(self, example_stacked_group):
         """shard_map over (data x node) returning the data-weighted mean
@@ -924,7 +900,7 @@ class NodeParallel:
                     lambda u: u * lr_factor, updates
                 )
                 params = optax.apply_updates(params, updates)
-                if self._use_zero1:
+                if self._opt_shard_axis is not None:
                     params = jax.lax.with_sharding_constraint(
                         params, self.replicated()
                     )
@@ -1022,7 +998,7 @@ class NodeParallel:
             updates, opt_state = optimizer.update(grads, opt_state, params)
             updates = jax.tree_util.tree_map(lambda u: u * lr_factor, updates)
             params = optax.apply_updates(params, updates)
-            if self._use_zero1:
+            if self._opt_shard_axis is not None:
                 params = jax.lax.with_sharding_constraint(
                     params, self.replicated()
                 )

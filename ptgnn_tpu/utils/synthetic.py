@@ -171,9 +171,11 @@ def synthetic_graph2seq_samples(
                     (int(a), int(b))
                     for a, b in zip(rng.randint(0, n, num_e), rng.randint(0, n, num_e))
                 ]
+        # clamp to the population (node 0 is excluded): fractions near 1.0
+        # would otherwise request more samples than the n-1 candidates
+        backbone_size = min(max(2, int(n * backbone_fraction)), n - 1)
         backbone = sorted(
-            rng.choice(np.arange(1, n), size=max(2, int(n * backbone_fraction)),
-                       replace=False).tolist()
+            rng.choice(np.arange(1, n), size=backbone_size, replace=False).tolist()
         )
         k = min(rng.randint(1, name_len + 1), len(backbone))
         name_nodes = sorted(rng.choice(backbone, size=k, replace=False).tolist())

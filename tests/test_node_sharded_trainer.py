@@ -276,3 +276,35 @@ def test_over_budget_batch_is_skipped_with_log(caplog):
         assert trainer._prepare_minibatch(mb) is None
     assert trainer._epoch_shard_stats["skipped"] == 1
     assert any("exceeds the frozen node-sharding" in r.message for r in caplog.records)
+
+
+def test_budgets_reprobed_on_first_training_pass(caplog):
+    """validate_on_start=True probes budgets from the VALIDATION set first;
+    those are provisional — the first training pass re-probes and takes the
+    elementwise max, so a small validation fold cannot freeze budgets that
+    silently skip (larger) training batches all run long."""
+    import logging
+
+    tmp = tempfile.mkdtemp()
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(1, 4), ("data", "node"))
+    model, trainer = _make_trainer(tmp, mesh=mesh, max_num_epochs=1)
+    small_valid = LazyDataIterable(
+        lambda: synthetic_typilus_graphs(6, seed=2, mean_nodes=20, max_nodes=40)
+    )
+    with caplog.at_level(logging.INFO):
+        trainer.train(
+            _train_data(16, seed=1),  # mean 60 nodes: bigger than validation
+            small_valid,
+            validate_on_start=True,
+            parallelize=False,
+            use_multiprocessing=False,
+            store_tensorized_data_in_memory=True,
+            patience=5,
+        )
+    probes = [r for r in caplog.records
+              if "Node-sharding budgets probed" in r.getMessage()]
+    assert any("validation" in r.getMessage() for r in probes), probes
+    assert any("training" in r.getMessage() for r in probes), probes
+    assert trainer._budgets_provisional is False
+    # nothing was skipped: the training re-probe covered the bigger batches
+    assert trainer._epoch_shard_stats["skipped"] == 0
