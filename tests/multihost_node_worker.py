@@ -47,6 +47,18 @@ def main() -> None:
     from ptgnn_tpu.parallel.node_sharded_trainer import NodeShardedModelTrainer
     from ptgnn_tpu.utils.synthetic import synthetic_typilus_graphs
 
+    # A node axis spanning both processes must be REJECTED: hosts rank-shard
+    # their data, so cross-process node groups would assemble shards of
+    # different batches (parallel/node_sharding.py guard).
+    from ptgnn_tpu.parallel.node_sharding import NodeParallel
+
+    bad_mesh = Mesh(np.asarray(jax.devices()).reshape(1, 8), ("data", "node"))
+    try:
+        NodeParallel(object(), None, bad_mesh, axis="node", data_axis=None)
+        raise SystemExit("cross-process node group was not rejected")
+    except NotImplementedError:
+        pass
+
     # (data=2, node=4): host p owns devices [4p, 4p+4) == data row p.
     mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("data", "node"))
 
