@@ -1,4 +1,13 @@
-"""Re-invokable dataset iterables (reference: ptgnn/baseneuralmodel/utils/data.py)."""
+"""Re-invokable dataset iterables.
+
+Training loops iterate the same dataset once per epoch, so a dataset handle
+must be an *iterator factory*, not a one-shot iterator. The reference ships
+the same three shapes (ptgnn/baseneuralmodel/utils/data.py): a plain factory
+wrapper, a rank-parameterized factory for per-host input sharding, and a
+memoizing wrapper that trades RAM for re-read cost. The implementations here
+are original; only the class names and call surface match the reference so
+task code ports one-to-one.
+"""
 from __future__ import annotations
 
 import random
@@ -8,68 +17,82 @@ T = TypeVar("T")
 
 
 class LazyDataIterable(Iterable[T]):
-    """Wraps an iterator factory so the dataset can be re-iterated each epoch."""
+    """A dataset handle built from a zero-argument iterator factory.
+
+    Each ``iter()`` call re-invokes the factory, so epochs see a fresh pass
+    over the underlying source (file reader, generator, ...).
+    """
 
     def __init__(self, base_iterable_func: Callable[[], Iterator[T]]):
-        self.__base_iterable_func = base_iterable_func
+        self._make_iter = base_iterable_func
 
     def __iter__(self) -> Iterator[T]:
-        return self.__base_iterable_func()
+        return self._make_iter()
 
 
 class ShardedLazyDataIterable(Iterable[T]):
-    """An iterator factory parameterized by (rank, world_size) for per-host
-    input sharding (reference: utils/data.py:15-26)."""
+    """A dataset handle whose factory takes ``(rank, world_size)`` keywords.
+
+    Multi-host trainers call :meth:`set_rank` once per worker; from then on
+    every epoch's iterator yields only that worker's input shard. Until
+    ``set_rank`` runs, the factory receives ``rank=None, world_size=None``
+    and may choose to yield everything (single-process use).
+    """
 
     def __init__(self, base_iterable_func: Callable[..., Iterator[T]]):
-        self.__base_iterable_func = base_iterable_func
-        self.__rank: Optional[int] = None
-        self.__world_size: Optional[int] = None
+        self._make_iter = base_iterable_func
+        self._placement = (None, None)  # (rank, world_size)
 
     def set_rank(self, rank: int, world_size: int) -> None:
-        self.__rank = rank
-        self.__world_size = world_size
+        self._placement = (rank, world_size)
 
     def __iter__(self) -> Iterator[T]:
-        return self.__base_iterable_func(rank=self.__rank, world_size=self.__world_size)
+        rank, world_size = self._placement
+        return self._make_iter(rank=rank, world_size=world_size)
 
 
 class MemorizedDataIterable(Iterable[T]):
-    """Caches the underlying iterable in RAM after the first pass, optionally
-    reshuffling on later passes (reference: utils/data.py:29-52)."""
+    """Materializes the source into RAM on the first full pass.
+
+    The first ``iter()`` streams from the factory while recording each
+    element; once that pass COMPLETES, later passes serve the recorded list
+    (optionally reshuffled per epoch). An abandoned first pass does not mark
+    the cache valid, so a partially-consumed epoch cannot poison later ones.
+    """
 
     def __init__(
         self,
         base_iterable_func: Callable[[], Iterator[T]],
         shuffle: bool = False,
-        rng: "random.Random" = None,
+        rng: Optional[random.Random] = None,
     ):
-        self.__base_iterable_func = base_iterable_func
-        self.__elements: List[T] = []
-        self.__use_cache = False
-        self.__shuffle = shuffle
-        # None -> the module-global RNG (the reference's utils/data.py:44
-        # behavior); pass a seeded random.Random for deterministic reshuffles
-        self.__rng = rng
+        self._make_iter = base_iterable_func
+        self._shuffle = shuffle
+        self._rng = rng  # None -> module-global random, matching the reference
+        self._cache: Optional[List[T]] = None  # None until a pass completes
 
-    def __yield_and_store(self, base: Iterator[T]):
-        for element in base:
-            self.__elements.append(element)
+    def _record_first_pass(self) -> Iterator[T]:
+        recorded: List[T] = []
+        for element in self._make_iter():
+            recorded.append(element)
             yield element
-        self.__use_cache = True
+        self._cache = recorded
 
     def __iter__(self) -> Iterator[T]:
-        if self.__use_cache:
-            if self.__shuffle:
-                (self.__rng or random).shuffle(self.__elements)
-            return iter(self.__elements)
-        return self.__yield_and_store(self.__base_iterable_func())
+        if self._cache is None:
+            return self._record_first_pass()
+        if self._shuffle:
+            shuffler = self._rng if self._rng is not None else random
+            shuffler.shuffle(self._cache)
+        return iter(self._cache)
 
     def __call__(self) -> Iterator[T]:
+        # Lets a memorized dataset stand in where a factory is expected.
         return iter(self)
 
 
 def enforce_not_None(e: Optional[T]) -> T:
+    """Narrow ``Optional[T]`` to ``T``, failing loudly on ``None``."""
     if e is None:
-        raise Exception("Input is None.")
+        raise ValueError("expected a value, got None")
     return e
