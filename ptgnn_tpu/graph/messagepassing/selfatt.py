@@ -141,15 +141,14 @@ class MultiHeadSelfAttentionMessagePassing(AbstractMessagePassingLayer):
     ) -> jax.Array:
         ns = ctx.node_sharding
         if ns is not None:
-            if self.target_reference != "all":
-                raise NotImplementedError(
-                    "reference-subset self-attention under node sharding is "
-                    "not implemented (reference rows live on other shards); "
-                    "run this layer unsharded or use target_reference='all'"
-                )
             # Gather the global node states, attend over the global packing
             # (exact — identical to the single-device computation), keep the
-            # local rows. See the class comment for the cost model.
+            # local rows. See the class comment for the cost model. This
+            # covers target_reference subsets too: reference sets carry
+            # GLOBAL node ids (parallel/node_sharding.py remaps them through
+            # the reorder permutation), so the recursive unsharded call
+            # gathers the reference rows straight out of the gathered table
+            # and writes them back in place before the local slice.
             h_global = jax.lax.all_gather(ns.h_local, ns.axis, tiled=True)
             global_ctx = ctx._replace(
                 node_graph=ns.node_graph_global,

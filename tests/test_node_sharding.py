@@ -273,6 +273,16 @@ def test_node_parallel_heterogeneous_stack_matches_single_device():
                 value_dimension=8, output_dimension=H,
                 intermediate_dimension=2 * H, num_heads=2, dropout_rate=0.0,
             ),
+            # Reference-subset attention (attends only among supernode rows,
+            # writes results back in place) must also match under sharding:
+            # reference sets carry global ids, so the gather-based path
+            # resolves them against the all_gathered table.
+            MultiHeadSelfAttentionMessagePassing(
+                input_state_dimension=H, key_query_dimension=8,
+                value_dimension=8, output_dimension=H,
+                intermediate_dimension=2 * H, num_heads=2, dropout_rate=0.0,
+                target_reference="supernodes",
+            ),
             mk(),
         ]
 
@@ -391,34 +401,15 @@ def test_graphnorm_matches_under_node_sharding():
 
 def test_selfatt_node_sharding_contract():
     """Self-attention MP supports node sharding through a gather-based path
-    (exact global attention); it never reads the recv buffer, so the engine
-    skips its boundary all_to_all. Reference-subset mode stays rejected."""
-    from ptgnn_tpu.graph.messagepassing import GraphContext
+    (exact global attention — including reference-subset mode, whose global
+    ids resolve against the gathered table); it never reads the recv buffer,
+    so the engine skips its boundary all_to_all."""
     from ptgnn_tpu.graph.messagepassing.selfatt import (
         MultiHeadSelfAttentionMessagePassing,
     )
-    from ptgnn_tpu.parallel.node_sharding import NodeShardCtx
 
     assert MultiHeadSelfAttentionMessagePassing.supports_node_sharding is True
     assert MultiHeadSelfAttentionMessagePassing.needs_boundary_exchange is False
-
-    layer = MultiHeadSelfAttentionMessagePassing(
-        input_state_dimension=8, key_query_dimension=4, value_dimension=4,
-        output_dimension=8, intermediate_dimension=16, num_heads=1,
-        target_reference="supernodes",
-    )
-    p = layer.init(jax.random.PRNGKey(0))
-    ns = NodeShardCtx(
-        axis="node", rows_per=4, adj_int=None, adj_bnd=None,
-        h_local=jnp.zeros((4, 8)), recv=None, node_graph_global=None,
-        node_mask_global=None,
-    )
-    ctx = GraphContext(
-        adjacency=None, edge_features=None, node_graph=None, node_mask=None,
-        graph_mask=jnp.ones((2,), bool), references={}, node_sharding=ns,
-    )
-    with pytest.raises(NotImplementedError):
-        layer.apply(p, jnp.zeros((4, 8)), ctx)
 
 
 def test_node_parallel_edge_features_match_single_device():
