@@ -342,19 +342,20 @@ class GraphNeuralNetwork(Module):
             return_all_states=return_all_states,
             edge_feature_table=edge_feature_table,
         )  # [rows_per, D_out]
-        # Readout: one [N, D] all_gather so heads (reference gathers, node
-        # losses) run on global ids — the only full-node-array buffer; the
-        # stack itself never materializes one.
-        initial_g = jax.lax.all_gather(initial, axis, tiled=True)
-        output_g = jax.lax.all_gather(output, axis, tiled=True)
+        # Readout: hand heads the LOCAL row tables plus the shard axis.
+        # Heads assemble only the rows they consume through the GnnOutput
+        # accessors (reference_rows/node_rows, O(refs*D)); nothing on the
+        # sharded path materializes an O(N*D) buffer unless a head
+        # explicitly calls node_table() for a genuinely whole-set readout.
         metrics = {
             "num_graphs": batch.num_graphs,
             "num_nodes": batch.num_nodes,
             "num_edges": batch.num_edges,
         }
         gnn_out = GnnOutput(
-            input_node_representations=initial_g,
-            output_node_representations=output_g,
+            input_node_representations=initial,
+            output_node_representations=output,
+            shard_axis=axis,
             node_to_graph_idx=ns.node_graph_global,
             node_mask=ns.node_mask_global,
             node_idx_references={n: r.node_ids for n, r in batch.references.items()},

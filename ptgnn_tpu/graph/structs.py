@@ -212,17 +212,31 @@ class GraphBatch(NamedTuple):
 
 
 class GnnOutput(NamedTuple):
-    """Output of the GNN engine (reference: structs.py:52-76), plus masks."""
+    """Output of the GNN engine (reference: structs.py:52-76), plus masks.
 
-    input_node_representations: Any  # [max_nodes, D]
-    output_node_representations: Any  # [max_nodes, H]
-    node_to_graph_idx: Any  # [max_nodes] int32
-    node_mask: Any  # [max_nodes] bool
-    node_idx_references: Dict[str, Any]
+    Under node sharding (``shard_axis`` set) the two representation fields
+    hold this shard's LOCAL ``[rows_per, D]`` rows — NOT the full node
+    table — so the readout never materializes an O(N*D) buffer per shard.
+    Heads must go through the accessors: :meth:`reference_rows` /
+    :meth:`node_rows` assemble only the requested rows (O(rows*D) via an
+    owner-select + psum), :meth:`node_table` explicitly pays the full
+    all_gather for heads that genuinely consume every node (per-node
+    losses, whole-set summaries). In the unsharded case the accessors are
+    plain gathers/identity, so heads written against them run everywhere.
+    """
+
+    input_node_representations: Any  # [max_nodes, D] (LOCAL rows when sharded)
+    output_node_representations: Any  # [max_nodes, H] (LOCAL rows when sharded)
+    node_to_graph_idx: Any  # [max_nodes] int32 (always GLOBAL)
+    node_mask: Any  # [max_nodes] bool (always GLOBAL)
+    node_idx_references: Dict[str, Any]  # GLOBAL node ids
     node_graph_idx_reference: Dict[str, Any]
     reference_masks: Dict[str, Any]
     num_graphs: Any  # scalar int32
     graph_mask: Any  # [max_graphs] bool
+    # Mesh axis name when the representation fields are per-shard local rows
+    # (parallel/node_sharding.py); None for ordinary batches.
+    shard_axis: Any = None
 
     @property
     def reference_nodes_idx(self) -> Dict[str, Any]:
@@ -231,6 +245,51 @@ class GnnOutput(NamedTuple):
     @property
     def reference_nodes_graph_idx(self) -> Dict[str, Any]:
         return self.node_graph_idx_reference
+
+    def _table(self, which: str) -> Any:
+        assert which in ("output", "input"), which
+        return (
+            self.output_node_representations
+            if which == "output"
+            else self.input_node_representations
+        )
+
+    def node_table(self, which: str = "output") -> Any:
+        """The FULL [max_nodes, D] node table. Under sharding this is one
+        all_gather — O(N*D) per shard — so only heads that truly read every
+        node (PPI's per-node loss, whole-graph summaries) should call it;
+        row lookups belong in :meth:`node_rows` / :meth:`reference_rows`."""
+        if self.shard_axis is None:
+            return self._table(which)
+        import jax
+
+        return jax.lax.all_gather(self._table(which), self.shard_axis, tiled=True)
+
+    def node_rows(self, node_ids: Any, which: str = "output") -> Any:
+        """Gather rows by GLOBAL node id without materializing the full
+        table: each shard contributes the rows it owns, one psum of the
+        [rows, D] result replicates them. Out-of-range ids clamp (the
+        ``jnp.take`` default the unsharded path uses); mask padding slots
+        downstream as usual."""
+        import jax
+        import jax.numpy as jnp
+
+        if self.shard_axis is None:
+            return jnp.take(self._table(which), node_ids, axis=0)
+        local = self._table(which)
+        rows_per = local.shape[0]
+        total = rows_per * jax.lax.psum(1, self.shard_axis)
+        ids = jnp.clip(node_ids, 0, total - 1)
+        mine = (ids // rows_per) == jax.lax.axis_index(self.shard_axis)
+        picked = jnp.take(local, jnp.where(mine, ids % rows_per, 0), axis=0)
+        contrib = jnp.where(mine[..., None], picked, jnp.zeros((), picked.dtype))
+        return jax.lax.psum(contrib, self.shard_axis)
+
+    def reference_rows(self, name: str, which: str = "output") -> Any:
+        """[R_pad, D] representations of the named reference set — the
+        O(refs*D) readout heads should use (VERDICT r4: replaces the
+        replicated all_gathered-table gather)."""
+        return self.node_rows(self.node_idx_references[name], which)
 
 
 class AbstractNodeEmbedder:

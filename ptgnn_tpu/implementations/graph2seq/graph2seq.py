@@ -65,13 +65,16 @@ class Graph2SeqModule(Module):
 
     def _get_initial_decoder_states(self, params, gnn_output: GnnOutput):
         """(reference: graph2seq.py:55-65), masked over padding nodes."""
+        # The graph summary reduces over EVERY node, so under node sharding
+        # this is a genuine whole-set readout: node_table() pays one
+        # [N, D+H] all_gather (documented O(N*D) boundary of this head).
         return self.node_to_graph_representation.apply(
             params["summarizer"],
             ElementsToSummaryRepresentationInput(
                 element_embeddings=jnp.concatenate(
                     (
-                        gnn_output.input_node_representations,
-                        gnn_output.output_node_representations,
+                        gnn_output.node_table("input"),
+                        gnn_output.node_table("output"),
                     ),
                     axis=-1,
                 ),
@@ -85,10 +88,7 @@ class Graph2SeqModule(Module):
         gnn_output, gnn_metrics = self.gnn.apply(
             params["gnn"], batch, train=train, rng=fold(rng, 0)
         )
-        backbone = gnn_output.node_idx_references["backbone_nodes"]
-        memories = jnp.take(
-            gnn_output.output_node_representations, backbone, axis=0
-        )  # [M_pad, H]
+        memories = gnn_output.reference_rows("backbone_nodes")  # [M_pad, H]
         origin = gnn_output.node_graph_idx_reference["backbone_nodes"]
         memory_mask = gnn_output.reference_masks["backbone_nodes"]
         initial_states = self._get_initial_decoder_states(params, gnn_output)

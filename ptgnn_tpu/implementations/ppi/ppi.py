@@ -61,8 +61,10 @@ class PPIClassification(Module):
         gnn_output, gnn_metrics = self.gnn.apply(
             params["gnn"], batch, train=train, rng=fold(rng, 0)
         )
+        # Per-node loss over EVERY node: a genuine whole-set readout, so
+        # under node sharding node_table() pays the one [N, H] all_gather.
         logits = self.output_representation_to_logits.apply(
-            params["to_logits"], gnn_output.output_node_representations
+            params["to_logits"], gnn_output.node_table("output")
         ).astype(jnp.float32)
         node_mask = gnn_output.node_mask  # [N_pad]
         targets_f = targets.astype(jnp.float32)

@@ -77,11 +77,10 @@ class Graph2ClassModule(Module):
 
     def _logits(self, params: Params, batch, *, train: bool, rng):
         gnn_output, gnn_metrics = self.gnn.apply(params["gnn"], batch, train=train, rng=rng)
-        supernode_idxs = gnn_output.reference_nodes_idx["supernodes"]  # [R_pad]
         mask = gnn_output.reference_masks["supernodes"]  # [R_pad]
-        reps = jnp.take(
-            gnn_output.output_node_representations, supernode_idxs, axis=0
-        )  # [R_pad, D] (padding slots index node 0; masked downstream)
+        # O(refs*D) readout: under node sharding this assembles ONLY the
+        # supernode rows (owner-select + psum), never the full node table.
+        reps = gnn_output.reference_rows("supernodes")  # [R_pad, D]
         logits = self.node_to_class.apply(params["node_to_class"], reps)
         return logits, gnn_output.reference_nodes_graph_idx["supernodes"], mask, gnn_metrics
 

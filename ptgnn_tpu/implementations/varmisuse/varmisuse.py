@@ -83,9 +83,10 @@ class VarMisuseGraphModel(Module):
         slot_ids = gnn_output.node_idx_references["slot_node_idx"]  # [G_pad]
         slot_mask = gnn_output.reference_masks["slot_node_idx"]
 
-        out = gnn_output.output_node_representations
-        cand_reps = jnp.take(out, cand_ids, axis=0)  # [C_pad, H]
-        slot_reps = jnp.take(out, slot_ids, axis=0)  # [G_pad, H] (row i <-> graph i)
+        # O(refs*D) readout (sharding-safe): only candidate and slot rows
+        # are assembled, never the full node table.
+        cand_reps = gnn_output.node_rows(cand_ids)  # [C_pad, H]
+        slot_reps = gnn_output.node_rows(slot_ids)  # [G_pad, H] (row i <-> graph i)
         slot_per_cand = jnp.take(
             slot_reps, cand_graph, axis=0, mode="fill", fill_value=0.0
         )  # [C_pad, H]

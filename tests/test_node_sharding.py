@@ -470,7 +470,7 @@ def test_node_parallel_edge_features_match_single_device():
 
         def apply(self, params, batch, train=False, rng=None):
             out, metrics = self.gnn.apply(params, batch, train=train, rng=rng)
-            h = out.output_node_representations
+            h = out.node_table("output")
             mask = out.node_mask
             loss = jnp.sum(
                 jnp.where(mask[:, None], h, jnp.zeros((), h.dtype)) ** 2
