@@ -427,20 +427,53 @@ def _fused_bwd(num_nodes, reduction, use_target_state, dropout_keep, res, g):
 
     d_msgs = route_primary()
 
-    # dW: per-tile inp^T @ d_msgs, segment-summed by tile type, from the
-    # saved forward input; messages are never rematerialized.
+    # dW from the saved forward input; messages are never rematerialized.
+    # Two routes, chosen by HBM traffic (v5e PPI profile, 256-dim: the
+    # per-tile route writes+reads a [n_tiles, Din, M] intermediate — 1 GB at
+    # those shapes — and its segment_sum was 5.4 ms/step of scatter-add):
+    #  * per-tile: [n_tiles, tile, Din]^T @ [n_tiles, tile, M] batched dot,
+    #    then segment_sum by tile type — best when types are many and
+    #    Din*M is small (the flagship's 64-dim configs);
+    #  * per-type masked dots: dW[t] = inp^T @ (d_msgs * [type==t]) as T
+    #    full-E contractions — no big intermediate, reads the operands T
+    #    times; best when T is small and Din*M large (PPI: T=2, 512x256).
+    # Padding slots carry d_msgs == 0 in both routes, so they contribute
+    # nothing. f64 (x64 parity) keeps the per-tile route — its reduction
+    # order is the one the parity suites pinned.
     n_tiles = adj.tile_types.shape[0]
     din = inp.shape[1]
     m = d_msgs.shape[1]
-    inp_t = inp.astype(compute_dtype).reshape(n_tiles, tile, din)
-    dm_t = d_msgs.reshape(n_tiles, tile, m)
-    per_tile_dw = jax.lax.dot_general(
-        inp_t, dm_t, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # [n_tiles, Din, M]
-    d_w = jax.ops.segment_sum(
-        per_tile_dw, adj.tile_types, num_segments=weight_stack.shape[0]
-    ).astype(weight_stack.dtype)
+    num_types = weight_stack.shape[0]
+    itemsize = jnp.dtype(compute_dtype).itemsize
+    per_tile_traffic = 2 * n_tiles * din * m * 4
+    masked_traffic = num_types * e_pad * (din + m) * itemsize
+    if (
+        masked_traffic < per_tile_traffic
+        and compute_dtype in (jnp.bfloat16, jnp.float32)
+    ):
+        inp_c = inp.astype(compute_dtype)
+        tt_e = jnp.repeat(adj.tile_types, tile)  # [E]
+        d_w = jnp.stack(
+            [
+                jax.lax.dot_general(
+                    inp_c,
+                    d_msgs * (tt_e == t).astype(d_msgs.dtype)[:, None],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                for t in range(num_types)
+            ]
+        ).astype(weight_stack.dtype)
+    else:
+        inp_t = inp.astype(compute_dtype).reshape(n_tiles, tile, din)
+        dm_t = d_msgs.reshape(n_tiles, tile, m)
+        per_tile_dw = jax.lax.dot_general(
+            inp_t, dm_t, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [n_tiles, Din, M]
+        d_w = jax.ops.segment_sum(
+            per_tile_dw, adj.tile_types, num_segments=num_types
+        ).astype(weight_stack.dtype)
 
     # d msg_input: each orientation consumes only ONE half of its [E, Din]
     # input-cotangent (the primary's target part; the transpose's source

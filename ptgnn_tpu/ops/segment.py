@@ -48,6 +48,27 @@ def _promote(data: jax.Array):
     return data, None
 
 
+def _use_matmul_segment_sum(data: jax.Array, num_segments: int) -> bool:
+    """Few-segment sums of large arrays route through a one-hot matmul on
+    TPU: XLA's scatter-add runs at ~125 GB/s on the v5e for the decoder's
+    [M, T, H] copy-attention sums while the MXU streams the same reduction
+    at dense bandwidth (round-5 graph2seq profile: 5.8 ms/step of
+    scatter-add at 32 calls). The one-hot contraction runs at HIGHEST
+    precision, so f32 products are exact and only accumulation order
+    differs from the scatter. Large segment counts (node aggregation) keep
+    the scatter/Pallas routes. Override: PTGNN_TPU_SEGSUM_MATMUL=0/1."""
+    import os
+
+    override = os.environ.get("PTGNN_TPU_SEGSUM_MATMUL")
+    if override is not None:
+        return override not in ("0", "false", "")
+    if jax.default_backend() != "tpu":
+        return False
+    rows = data.shape[0]
+    width = data.size // max(rows, 1)
+    return num_segments <= 128 and rows >= 4096 and width >= 8
+
+
 def segment_sum(
     data: jax.Array,
     segment_ids: jax.Array,
@@ -55,9 +76,28 @@ def segment_sum(
     mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     data, orig = _promote(data)
-    if mask is not None:
-        data = jnp.where(_expand_mask(mask, data), data, jnp.zeros((), data.dtype))
-    out = jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+    if jnp.issubdtype(data.dtype, jnp.floating) and _use_matmul_segment_sum(
+        data, num_segments
+    ):
+        onehot = segment_ids[None, :] == jnp.arange(
+            num_segments, dtype=segment_ids.dtype
+        )[:, None]  # [S, R]; out-of-range ids (padding) match no row
+        if mask is not None:
+            onehot = jnp.logical_and(onehot, mask[None, :])
+        flat = data.reshape(data.shape[0], -1)
+        out = jax.lax.dot_general(
+            onehot.astype(data.dtype),
+            flat,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=data.dtype,
+        ).reshape((num_segments,) + data.shape[1:])
+    else:
+        if mask is not None:
+            data = jnp.where(
+                _expand_mask(mask, data), data, jnp.zeros((), data.dtype)
+            )
+        out = jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
     return out.astype(orig) if orig is not None else out
 
 

@@ -40,7 +40,7 @@ from ptgnn_tpu.implementations.typilus.train import create_graph2class_gnn_model
 from ptgnn_tpu.utils.synthetic import synthetic_typilus_graphs
 
 HIDDEN = 32
-EPOCHS = 16
+EPOCHS = 40
 
 
 _TYPES = ["int", "str", "bool", "float", "List[int]", "Dict[str, int]"]
@@ -59,12 +59,22 @@ def _relabel(graphs):
 
 
 def make_data():
-    train = _relabel(list(synthetic_typilus_graphs(32, seed=0, mean_nodes=50, max_nodes=120)))
-    # The validation set must be large enough that the 0.02 parity band below
-    # is wider than the per-sample accuracy quantum: 64 graphs ~= 130
-    # annotated supernodes -> ~0.008 resolution (16 graphs gave 0.03, coarser
-    # than the band itself, and the test flapped on one-sample wiggles).
-    valid = _relabel(list(synthetic_typilus_graphs(64, seed=1, mean_nodes=50, max_nodes=120)))
+    # AST topology with dense supervision (VERDICT r4 item 7): on the old
+    # random-expander graphs both sides plateaued AT the 0.436 class prior
+    # (name->type signal does not generalize through 12 layers of expander
+    # context), so the test had no discriminating power. With localized
+    # AST neighborhoods + 0.25 supernode fraction + 64 training graphs the
+    # signal survives and BOTH stacks generalize near-perfectly (round-5
+    # calibration, 5 seeds: reference 0.995 +/- 0.007, ours 0.999 +/-
+    # 0.002) — VarMisuse-style parity at a meaningful operating point.
+    gen = lambda n, seed: synthetic_typilus_graphs(
+        n, seed=seed, mean_nodes=50, max_nodes=120,
+        topology="ast", supernode_fraction=0.25,
+    )
+    train = _relabel(list(gen(64, 0)))
+    # 64 validation graphs * ~12 annotated supernodes -> the parity band is
+    # far above the per-sample accuracy quantum (~0.0013).
+    valid = _relabel(list(gen(64, 1)))
     return train, valid
 
 
@@ -173,16 +183,15 @@ SEEDS = (0, 1, 2, 3, 4)
 
 @pytest.mark.slow
 def test_graph2class_accuracy_parity_with_reference():
-    """Multi-seed parity with the band set at the MEASURED seed-noise floor
-    of this tiny config (round-4 calibration, 15+ pilot runs per side): on
-    32 random-expander training graphs both implementations end near the
-    class prior (the supernode's name signal does not generalize through
-    expander context — both sides memorize the training set, train accuracy
-    0.86-0.98, but that does not transfer), with per-side seed sigma ~0.03
-    -> SE of a 5-seed mean difference ~0.019. The band is 0.04 ~= 2 SE:
-    tighter bands flap on seed luck (the round-3 0.02 band on 3-seed means
-    failed with BOTH orderings across reruns), wider ones hide real gaps.
-    The reference side is pinned to one torch thread — multi-threaded CPU
+    """Multi-seed parity at an operating point with real discriminating
+    power (VERDICT r4 item 7): both stacks must GENERALIZE (>0.7 mean,
+    measured ~0.995 both sides — far above the 0.436 class prior the old
+    expander config plateaued at), and agree within a calibrated band.
+    Round-5 calibration at this config (5 seeds/side): reference
+    0.9947 +/- 0.007, ours 0.9990 +/- 0.002 -> SE of a 5-seed mean
+    difference ~0.0033; the 0.02 band is ~6 SE — tight enough to catch a
+    real capacity gap, slack enough not to flap on seed luck. The
+    reference side is pinned to one torch thread — multi-threaded CPU
     scatter reductions made its per-seed results differ across identical
     runs. Fine-grained parity is carried by the exact-math suites
     (per-layer activation and gradient parity vs the reference, fp64) —
@@ -190,8 +199,7 @@ def test_graph2class_accuracy_parity_with_reference():
 
     The train-accuracy side statistic is recorded in the failure message
     only: the checkpoint is selected on VALIDATION accuracy, so its train
-    fit is not a stable statistic to assert on (measured 0.52-0.90 across
-    reference seeds).
+    fit is not a stable statistic to assert on.
     """
     import numpy as np
 
@@ -202,11 +210,11 @@ def test_graph2class_accuracy_parity_with_reference():
     our_accs = [a for a, _ in our_runs]
     ref_mean = float(np.mean(ref_accs))
     our_mean = float(np.mean(our_accs))
-    # Synthetic annotations are drawn from a Zipf head: predicting frequent
-    # classes is learnable; both implementations must reach the same band.
-    assert ref_mean > 0.18, f"reference failed to learn (accs={ref_accs})"
-    assert min(our_accs) > 0.18, f"ours failed to learn (accs={our_accs})"
-    assert our_mean >= ref_mean - 0.04, (
+    # Both sides must truly generalize, not prior-match (the name->type
+    # function is learnable; ~0.995 expected, 0.7 allows for drift).
+    assert ref_mean > 0.7, f"reference failed to generalize (accs={ref_accs})"
+    assert our_mean > 0.7, f"ours failed to generalize (accs={our_accs})"
+    assert our_mean >= ref_mean - 0.02, (
         f"ours {our_accs} (mean {our_mean:.4f}) vs "
         f"reference {ref_accs} (mean {ref_mean:.4f}); "
         f"train-fit context: ours {[t for _, t in our_runs]} vs "

@@ -216,3 +216,43 @@ def test_fused_dropout_is_iid_and_grads_match_explicit_mask():
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.sum(jnp.abs(g))) > 0
 
+
+
+def test_fused_masked_dw_route_matches_fallback():
+    """Wide-D small-T configs (the PPI shape class) take the per-type
+    masked-dot dW route instead of the [n_tiles, Din, M] per-tile
+    intermediate + segment_sum; gradients must match the plain path."""
+    b, ctx, _ = build_batch()
+    rng = np.random.RandomState(3)
+    D = 192  # din = 2D = 384, m = 192 -> masked route wins the traffic test
+    states = jnp.asarray(rng.randn(ctx.node_mask.shape[0], D).astype(np.float32))
+    layer = MlpMessagePassingLayer(
+        input_state_dimension=D, output_state_dimension=D, message_dimension=D,
+        num_edge_types=b.num_edge_types, message_aggregation_function="sum",
+    )
+    # sanity: this config really is on the masked side of the traffic gate
+    e_pad = ctx.adjacency.senders.shape[0]
+    n_tiles = ctx.adjacency.tile_types.shape[0]
+    assert b.num_edge_types * e_pad * (2 * D + D) * 4 < 2 * n_tiles * 2 * D * D * 4
+
+    params = layer.init(jax.random.PRNGKey(0))
+
+    def loss(params, states, force_off):
+        os.environ["PTGNN_TPU_FORCE_PALLAS_AGG"] = "0" if force_off else "1"
+        out = layer.apply(params, states, ctx)
+        return jnp.sum(jnp.where(ctx.node_mask[:, None], out, 0.0) ** 2)
+
+    l_fast, (gp_fast, gs_fast) = jax.value_and_grad(loss, argnums=(0, 1))(
+        params, states, False
+    )
+    l_ref, (gp_ref, gs_ref) = jax.value_and_grad(loss, argnums=(0, 1))(
+        params, states, True
+    )
+    np.testing.assert_allclose(float(l_fast), float(l_ref), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(gs_fast), np.asarray(gs_ref), rtol=1e-4, atol=1e-5
+    )
+    for pf, pr in zip(
+        jax.tree_util.tree_leaves(gp_fast), jax.tree_util.tree_leaves(gp_ref)
+    ):
+        np.testing.assert_allclose(np.asarray(pf), np.asarray(pr), rtol=1e-4, atol=1e-4)

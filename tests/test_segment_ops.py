@@ -145,3 +145,30 @@ def test_grad_through_segment_sum():
 
     g = jax.grad(f)(data)
     np.testing.assert_allclose(np.asarray(g), np.ones((6, 3)))
+
+
+def test_segment_sum_matmul_route_matches_scatter(monkeypatch):
+    """The few-segment one-hot matmul route (TPU decoder copy-attention
+    sums) must match the scatter route, values and grads, incl. masking and
+    out-of-range padding ids."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ptgnn_tpu.ops.segment import segment_sum
+
+    rng = np.random.RandomState(0)
+    rows, segs = 512, 16
+    data = jnp.asarray(rng.randn(rows, 3, 5).astype(np.float32))
+    ids = jnp.asarray(rng.randint(0, segs + 2, rows).astype(np.int32))  # some out of range
+    mask = jnp.asarray(rng.rand(rows) > 0.3)
+
+    def run(force):
+        monkeypatch.setenv("PTGNN_TPU_SEGSUM_MATMUL", force)
+        f = lambda d: jnp.sum(segment_sum(d, ids, segs, mask=mask) ** 2)
+        return jax.value_and_grad(f)(data)
+
+    v1, g1 = run("1")
+    v0, g0 = run("0")
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-5, atol=1e-6)

@@ -50,18 +50,22 @@ def measure(tag, module, params, mb, steps=30, amp=True):
     )
 
 
-def bench_typilus():
+def build_typilus():
     from ptgnn_tpu.implementations.typilus.harness import build_graph2class
     from ptgnn_tpu.implementations.typilus.train import default_padding
 
-    # measure what the stock CLI ships: the task's DEFAULT padding
+    # the stock CLI configuration: the task's DEFAULT padding
     _, module, params, mbs = build_graph2class(
         padding=default_padding(), num_metadata_graphs=20, mean_nodes=2500,
         max_graph_nodes=8000, num_minibatches=1, minibatch_size=300)
-    measure("typilus/graph2class", module, params, mbs[0])
+    return "typilus/graph2class", module, params, mbs[0]
 
 
-def bench_ppi():
+def bench_typilus():
+    measure(*build_typilus())
+
+
+def build_ppi():
     from ptgnn_tpu.implementations.ppi.dataloader import PPIGraphSample
     from ptgnn_tpu.implementations.ppi.train import create_ppi_gnn_model
     from ptgnn_tpu.utils.synthetic import synthetic_ppi_graphs
@@ -80,10 +84,14 @@ def bench_ppi():
     mb = next(iter(model.minibatch_iterator(
         model.tensorize_dataset(iter(raw), parallelize=False),
         max_minibatch_size=4, parallelize=False)))[0]
-    measure("ppi", module, params, mb)
+    return "ppi", module, params, mb
 
 
-def bench_varmisuse():
+def bench_ppi():
+    measure(*build_ppi())
+
+
+def build_varmisuse():
     from ptgnn_tpu.implementations.varmisuse.train import create_var_misuse_gnn_model, vm_padding
     from ptgnn_tpu.utils.synthetic import synthetic_varmisuse_samples
 
@@ -95,10 +103,14 @@ def bench_varmisuse():
     mb = next(iter(model.minibatch_iterator(
         model.tensorize_dataset(iter(raw), parallelize=False),
         max_minibatch_size=48, parallelize=False)))[0]
-    measure("varmisuse", module, params, mb)
+    return "varmisuse", module, params, mb
 
 
-def bench_graph2seq():
+def bench_varmisuse():
+    measure(*build_varmisuse())
+
+
+def build_graph2seq():
     from ptgnn_tpu.implementations.graph2seq.train import create_graph2seq_model, g2s_padding
     from ptgnn_tpu.utils.synthetic import synthetic_graph2seq_samples
 
@@ -110,7 +122,11 @@ def bench_graph2seq():
     mb = next(iter(model.minibatch_iterator(
         model.tensorize_dataset(iter(raw), parallelize=False),
         max_minibatch_size=64, parallelize=False)))[0]
-    measure("graph2seq", module, params, mb)
+    return "graph2seq", module, params, mb
+
+
+def bench_graph2seq():
+    measure(*build_graph2seq())
 
 
 if __name__ == "__main__":
@@ -118,3 +134,11 @@ if __name__ == "__main__":
     bench_ppi()
     bench_varmisuse()
     bench_graph2seq()
+
+
+BUILDERS = {
+    "typilus": build_typilus,
+    "ppi": build_ppi,
+    "varmisuse": build_varmisuse,
+    "graph2seq": build_graph2seq,
+}
