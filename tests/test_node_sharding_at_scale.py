@@ -23,7 +23,6 @@ import re
 import jax
 import numpy as np
 import optax
-import pytest
 
 from ptgnn_tpu.graph.structs import BatchPadding
 from ptgnn_tpu.implementations.typilus.train import create_graph2class_gnn_model

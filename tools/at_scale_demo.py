@@ -48,14 +48,12 @@ os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 if "multi_thread_eigen" not in os.environ["XLA_FLAGS"]:
     os.environ["XLA_FLAGS"] += " --xla_cpu_multi_thread_eigen=false"
 
-import numpy as np
 
 import jax
 
 if os.environ.get("JAX_PLATFORMS", "").lower() in ("", "cpu"):
     jax.config.update("jax_platforms", "cpu")
 
-import jax.numpy as jnp
 import optax
 
 S = 8
