@@ -256,3 +256,47 @@ def test_fused_masked_dw_route_matches_fallback():
         jax.tree_util.tree_leaves(gp_fast), jax.tree_util.tree_leaves(gp_ref)
     ):
         np.testing.assert_allclose(np.asarray(pf), np.asarray(pr), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_typed_matmul_route_matches_xla(monkeypatch):
+    """The scalar-prefetch typed-matmul kernel (wide-D/small-T route, PPI
+    shapes) must match the XLA gathered-stack route — values and custom-VJP
+    grads — in interpreter mode on CPU."""
+    import jax.experimental.pallas as pl_mod
+
+    from ptgnn_tpu.ops import typed_linear as tl
+
+    if jax.default_backend() != "tpu":
+        real_call = pl_mod.pallas_call
+
+        def patched(*args, **kwargs):
+            kwargs["interpret"] = True
+            kwargs.pop("cost_estimate", None)
+            return real_call(*args, **kwargs)
+
+        monkeypatch.setattr(pl_mod, "pallas_call", patched)
+
+    rng = np.random.RandomState(1)
+    nt, tile, d, m, T = 12, 16, 256, 128, 3
+    x = jnp.asarray(rng.randn(nt * tile, d).astype(np.float32)).astype(jnp.bfloat16)
+    w = jnp.asarray((rng.randn(T, d, m) * 0.05).astype(np.float32))
+    tt = jnp.asarray(np.sort(rng.randint(0, T, nt)).astype(np.int32))
+
+    def loss(force, xx, ww):
+        monkeypatch.setenv("PTGNN_TPU_TYPED_MM_PALLAS", force)
+        y = tl.typed_tile_matmul(xx, ww, tt, tile)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    v1, (gx1, gw1) = jax.value_and_grad(
+        lambda a, b: loss("1", a, b), argnums=(0, 1)
+    )(x, w)
+    v0, (gx0, gw0) = jax.value_and_grad(
+        lambda a, b: loss("0", a, b), argnums=(0, 1)
+    )(x, w)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=2e-2)
+    np.testing.assert_allclose(
+        np.asarray(gx1, np.float32), np.asarray(gx0, np.float32), rtol=5e-2, atol=5e-2
+    )
+    # dW precision paths differ (bf16 products under XLA autodiff vs the
+    # custom bwd's f32-accumulated masked dots): tolerance, not bitwise.
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw0), rtol=5e-2, atol=0.5)
