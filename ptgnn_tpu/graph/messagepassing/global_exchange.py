@@ -59,19 +59,36 @@ class AbstractGlobalGraphExchange(AbstractMessagePassingLayer):
         rng: Optional[jax.Array] = None,
     ) -> jax.Array:
         if ctx.node_sharding is not None:
-            # Per-graph summaries need a global node view (the var-sized
-            # reduce may be attention-weighted, not just a linear sum). One
-            # transient [N, D] all_gather per exchange layer buys running the
-            # summary module unchanged; the MP stack itself stays sharded.
             ns = ctx.node_sharding
-            inputs = ElementsToSummaryRepresentationInput(
-                element_embeddings=jax.lax.all_gather(
-                    ns.h_local, ns.axis, tiled=True
-                ),
-                element_to_sample_map=ns.node_graph_global,
-                num_samples=ctx.max_graphs,
-                mask=ns.node_mask_global,
-            )
+            rows_per = ns.rows_per
+            if getattr(
+                self.global_graph_representation_module,
+                "supports_sharded_inputs",
+                False,
+            ):
+                # Distributed summary (round 5): every in-repo reduce honors
+                # shard_axis — per-graph summaries come out of LOCAL rows
+                # plus one [G, D'] collective per reduction (psum /
+                # differentiable pmax; softmax via global shift + global
+                # denominator). No [N, D] buffer; the result is replicated.
+                inputs = ElementsToSummaryRepresentationInput(
+                    element_embeddings=ns.h_local,
+                    element_to_sample_map=ctx.node_graph[:rows_per],
+                    num_samples=ctx.max_graphs,
+                    mask=ctx.node_mask[:rows_per],
+                    shard_axis=ns.axis,
+                )
+            else:
+                # External reduce that predates shard_axis: one transient
+                # [N, D] all_gather buys running it unchanged.
+                inputs = ElementsToSummaryRepresentationInput(
+                    element_embeddings=jax.lax.all_gather(
+                        ns.h_local, ns.axis, tiled=True
+                    ),
+                    element_to_sample_map=ns.node_graph_global,
+                    num_samples=ctx.max_graphs,
+                    mask=ns.node_mask_global,
+                )
         else:
             inputs = ElementsToSummaryRepresentationInput(
                 element_embeddings=node_states,

@@ -24,26 +24,139 @@ import jax.numpy as jnp
 from ptgnn_tpu.nn import initializers as init
 from ptgnn_tpu.nn.layers import Linear
 from ptgnn_tpu.nn.module import Module, Params
-from ptgnn_tpu.ops.segment import segment_log_softmax, segment_reduce, segment_sum
+from ptgnn_tpu.ops.segment import (
+    segment_count,
+    segment_log_softmax,
+    segment_max,
+    segment_min,
+    segment_reduce,
+    segment_sum,
+)
 
 
 class ElementsToSummaryRepresentationInput(NamedTuple):
     """Input to AbstractVarSizedElementReduce layers
-    (reference: varsizedsummary.py:11-17), plus an explicit validity mask."""
+    (reference: varsizedsummary.py:11-17), plus an explicit validity mask.
+
+    ``shard_axis``: mesh axis name when the element rows are PARTITIONED
+    across shards (node-sharded batches hand each shard its local rows).
+    Every in-repo reduce then computes its per-sample summaries with one
+    collective per reduction (psum / differentiable pmax) instead of a
+    gathered element table — the result is replicated across the axis and
+    identical (up to f32 reassociation) to the unsharded computation.
+    """
 
     element_embeddings: Any  # [num_elements, D] float
     element_to_sample_map: Any  # [num_elements] int32 in [0, num_samples)
     num_samples: int  # static padded sample budget
     mask: Optional[Any] = None  # [num_elements] bool; None -> all valid
+    shard_axis: Any = None  # mesh axis name or None
 
 
 class AbstractVarSizedElementReduce(Module):
     """Summary representations from multiple variable-sized sets
     (reference: varsizedsummary.py:20-24)."""
 
+    # Every in-repo reduce honors inputs.shard_axis (distributed summaries);
+    # external subclasses that predate the field keep the all_gather path in
+    # graph/messagepassing/global_exchange.py.
+    supports_sharded_inputs: bool = True
+
     def apply(self, params: Params, inputs: ElementsToSummaryRepresentationInput) -> jax.Array:
         """Returns [num_samples, D'] summaries."""
         raise NotImplementedError
+
+
+def _sharded_segment_reduce(
+    data: jax.Array,
+    sample_map: jax.Array,
+    num_samples: int,
+    reduction: str,
+    mask: Optional[jax.Array],
+    axis,
+) -> jax.Array:
+    """Per-sample reduce over shard-partitioned element rows: local segment
+    reduce + one collective. Extremum gradients tie-split per shard then
+    across shards (the composition parallel/edge_sharding.py uses)."""
+    if axis is None:
+        return segment_reduce(data, sample_map, num_samples, reduction, mask=mask)
+    if reduction in ("sum", "add"):
+        return jax.lax.psum(
+            segment_sum(data, sample_map, num_samples, mask), axis
+        )
+    if reduction == "mean":
+        total = jax.lax.psum(
+            segment_sum(data, sample_map, num_samples, mask), axis
+        )
+        cnt = jax.lax.psum(
+            segment_count(sample_map, num_samples, mask, dtype=jnp.float32), axis
+        )
+        cnt = jnp.maximum(cnt, 1.0)
+        return total / cnt.reshape(cnt.shape + (1,) * (total.ndim - cnt.ndim)).astype(
+            total.dtype
+        )
+    assert reduction in ("max", "min"), reduction
+    from ptgnn_tpu.parallel.edge_sharding import _allreduce_extremum
+
+    local_fn = segment_max if reduction == "max" else segment_min
+    # neutral fill locally (empty_fill=None) so shards with no elements of a
+    # sample never win the cross-shard extremum; empties fill 0 globally
+    # (the single-device empty_fill=0 torch-scatter semantics).
+    local = local_fn(data, sample_map, num_samples, mask, empty_fill=None)
+    out = _allreduce_extremum(
+        local.astype(jnp.float32), axis, reduction == "max"
+    )
+    cnt = jax.lax.psum(segment_count(sample_map, num_samples, mask), axis)
+    cnt = cnt.reshape(cnt.shape + (1,) * (out.ndim - cnt.ndim))
+    return jnp.where(cnt > 0, out, jnp.zeros((), out.dtype)).astype(data.dtype)
+
+
+def _sharded_segment_log_softmax(
+    scores: jax.Array,
+    sample_map: jax.Array,
+    num_samples: int,
+    mask: Optional[jax.Array],
+    axis,
+) -> jax.Array:
+    """segment_log_softmax over shard-partitioned rows: global shift via
+    pmax (stop-gradient, like the local shift), global denominator via
+    psum; element terms stay local. Mirrors ops/segment.py's guards."""
+    if axis is None:
+        return segment_log_softmax(scores, sample_map, num_samples, mask)
+    from ptgnn_tpu.parallel.edge_sharding import _allreduce_extremum
+
+    data = scores.astype(jnp.float32) if scores.dtype == jnp.bfloat16 else scores
+    local_max = segment_max(data, sample_map, num_samples, mask, empty_fill=None)
+    # raw lax.pmax has no differentiation rule; the custom-VJP collective
+    # traces cleanly and the shift is stop-gradient anyway.
+    shift = _allreduce_extremum(
+        jax.lax.stop_gradient(local_max).astype(jnp.float32), axis, True
+    ).astype(data.dtype)
+    shift = jnp.where(jnp.isfinite(shift), shift, jnp.zeros((), data.dtype))
+    shift = jax.lax.stop_gradient(shift)
+    shifted = data - jnp.take(
+        shift, sample_map, axis=0, mode="fill", fill_value=0.0
+    )
+    expd = jnp.where(jnp.isnan(shifted), jnp.zeros((), data.dtype), jnp.exp(shifted))
+    if mask is not None:
+        m = mask.reshape(mask.shape + (1,) * (expd.ndim - mask.ndim))
+        expd = jnp.where(m, expd, jnp.zeros((), data.dtype))
+    denom = jax.lax.psum(
+        segment_sum(expd, sample_map, num_samples), axis
+    )
+    nonempty = denom > 0
+    log_denom = jnp.where(
+        nonempty,
+        jnp.log(jnp.where(nonempty, denom, jnp.ones((), denom.dtype))),
+        jnp.full((), -jnp.inf, denom.dtype),
+    )
+    lse = log_denom + shift
+    lse_safe = jnp.where(jnp.isfinite(lse), lse, jnp.zeros((), lse.dtype))
+    out = data - jnp.take(lse_safe, sample_map, axis=0, mode="fill", fill_value=0.0)
+    if mask is not None:
+        m = mask.reshape(mask.shape + (1,) * (out.ndim - mask.ndim))
+        out = jnp.where(m, out, jnp.full((), -jnp.inf, out.dtype))
+    return out.astype(scores.dtype)
 
 
 class SimpleVarSizedElementReduce(AbstractVarSizedElementReduce):
@@ -59,12 +172,13 @@ class SimpleVarSizedElementReduce(AbstractVarSizedElementReduce):
 
     def apply(self, params: Params, inputs: ElementsToSummaryRepresentationInput) -> jax.Array:
         del params
-        return segment_reduce(
+        return _sharded_segment_reduce(
             inputs.element_embeddings,
             inputs.element_to_sample_map,
-            num_segments=inputs.num_samples,
-            reduction=self.summarization_type,
-            mask=inputs.mask,
+            inputs.num_samples,
+            self.summarization_type,
+            inputs.mask,
+            inputs.shard_axis,
         )
 
 
@@ -74,16 +188,21 @@ def _attention_weighted_sum(
     sample_map: jax.Array,
     num_samples: int,
     mask: Optional[jax.Array],
+    shard_axis=None,
 ) -> jax.Array:
     """softmax(scores) within each set, then weighted sum of values.
 
     scores may be [E] or [E, H] (multi-head); values [E, ...] broadcastable.
     Empty sets yield zero rows (exp(-inf) == 0 under eps=0 semantics).
     """
-    logp = segment_log_softmax(scores, sample_map, num_samples, mask)
+    logp = _sharded_segment_log_softmax(
+        scores, sample_map, num_samples, mask, shard_axis
+    )
     probs = jnp.exp(logp)  # -inf -> 0 for masked / impossible elements
     weighted = values * probs.reshape(probs.shape + (1,) * (values.ndim - probs.ndim))
-    return segment_sum(weighted, sample_map, num_samples, mask)
+    return _sharded_segment_reduce(
+        weighted, sample_map, num_samples, "sum", mask, shard_axis
+    )
 
 
 class NormalizedWeightsVarSizedElementReduce(AbstractVarSizedElementReduce):
@@ -109,7 +228,8 @@ class NormalizedWeightsVarSizedElementReduce(AbstractVarSizedElementReduce):
         scores = self.attention_layer.apply(params["attention"], inputs.element_embeddings)
         values = self.output_layer.apply(params["output"], inputs.element_embeddings)
         return _attention_weighted_sum(
-            scores[..., 0], values, inputs.element_to_sample_map, inputs.num_samples, inputs.mask
+            scores[..., 0], values, inputs.element_to_sample_map,
+            inputs.num_samples, inputs.mask, inputs.shard_axis,
         )
 
 
@@ -128,11 +248,13 @@ class WeightedSumVarSizedElementReduce(AbstractVarSizedElementReduce):
         gates = jax.nn.sigmoid(
             self.weights_layer.apply(params["weights"], inputs.element_embeddings)
         )
-        return segment_sum(
+        return _sharded_segment_reduce(
             inputs.element_embeddings * gates,
             inputs.element_to_sample_map,
             inputs.num_samples,
+            "sum",
             inputs.mask,
+            inputs.shard_axis,
         )
 
 
@@ -176,7 +298,8 @@ class SelfAttentionVarSizedElementReduce(AbstractVarSizedElementReduce):
         scores = jnp.sum(queries_all * keys, axis=-1)  # [E]
         values = self.output_layer.apply(params["output"], inputs.element_embeddings)
         return _attention_weighted_sum(
-            scores, values, inputs.element_to_sample_map, inputs.num_samples, inputs.mask
+            scores, values, inputs.element_to_sample_map,
+            inputs.num_samples, inputs.mask, inputs.shard_axis,
         )
 
 
@@ -240,8 +363,9 @@ class MultiheadSelfAttentionVarSizedElementReduce(AbstractVarSizedElementReduce)
         keys = keys.reshape(keys.shape[0], h, -1)  # [E, h, H/h]
         scores = jnp.sum(q_el * keys, axis=-1) / math.sqrt(keys.shape[-1])  # [E, h]
 
-        logp = segment_log_softmax(
-            scores, inputs.element_to_sample_map, inputs.num_samples, inputs.mask
+        logp = _sharded_segment_log_softmax(
+            scores, inputs.element_to_sample_map, inputs.num_samples,
+            inputs.mask, inputs.shard_axis,
         )
         probs = jnp.exp(logp)  # [E, h]
 
@@ -252,7 +376,8 @@ class MultiheadSelfAttentionVarSizedElementReduce(AbstractVarSizedElementReduce)
         else:
             outputs = probs[..., None] * inputs.element_embeddings[:, None, :]  # [E, h, D]
         outputs = outputs.reshape(outputs.shape[0], -1)  # [E, h * D']
-        per_sample = segment_sum(
-            outputs, inputs.element_to_sample_map, inputs.num_samples, inputs.mask
+        per_sample = _sharded_segment_reduce(
+            outputs, inputs.element_to_sample_map, inputs.num_samples,
+            "sum", inputs.mask, inputs.shard_axis,
         )
         return self.output_layer.apply(params["output"], per_sample)

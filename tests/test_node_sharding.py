@@ -251,7 +251,11 @@ def test_node_parallel_heterogeneous_stack_matches_single_device():
     from ptgnn_tpu.implementations.typilus.graph2class import Graph2Class
     from ptgnn_tpu.implementations.typilus.harness import small_padding
     from ptgnn_tpu.parallel.node_sharding import NodeParallel
-    from ptgnn_tpu.reduceops.varsizedsummary import SimpleVarSizedElementReduce
+    from ptgnn_tpu.reduceops.varsizedsummary import (
+        MultiheadSelfAttentionVarSizedElementReduce,
+        NormalizedWeightsVarSizedElementReduce,
+        SimpleVarSizedElementReduce,
+    )
     from ptgnn_tpu.utils.synthetic import synthetic_typilus_graphs
 
     H = 32
@@ -266,6 +270,19 @@ def test_node_parallel_heterogeneous_stack_matches_single_device():
             GraphNorm(H),
             GruGlobalStateUpdate(
                 SimpleVarSizedElementReduce("mean"),
+                input_state_size=H, summarized_state_size=H,
+            ),
+            # Attention-weighted summary under sharding: exercises the
+            # distributed segment log-softmax (global shift + denominator)
+            # and the recursive sharded query summarizer.
+            GruGlobalStateUpdate(
+                MultiheadSelfAttentionVarSizedElementReduce(
+                    input_representation_size=H, hidden_size=16,
+                    output_representation_size=H, num_heads=2,
+                    query_representation_summarizer=(
+                        NormalizedWeightsVarSizedElementReduce(H, 16)
+                    ),
+                ),
                 input_state_size=H, summarized_state_size=H,
             ),
             MultiHeadSelfAttentionMessagePassing(
