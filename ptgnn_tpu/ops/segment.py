@@ -65,8 +65,7 @@ def _use_matmul_segment_sum(data: jax.Array, num_segments: int) -> bool:
     if jax.default_backend() != "tpu":
         return False
     rows = data.shape[0]
-    width = data.size // max(rows, 1)
-    return num_segments <= 128 and rows >= 4096 and width >= 8
+    return num_segments <= 128 and rows >= 4096 and data.size >= 32768
 
 
 def segment_sum(
@@ -107,10 +106,12 @@ def segment_count(
     mask: Optional[jax.Array] = None,
     dtype=jnp.int32,
 ) -> jax.Array:
-    ones = jnp.ones(segment_ids.shape, dtype)
+    # Counts ride the routed segment_sum (f32 is exact for any padded row
+    # count) so few-segment counting also takes the one-hot matmul on TPU.
+    ones = jnp.ones(segment_ids.shape, jnp.float32)
     if mask is not None:
-        ones = jnp.where(mask, ones, jnp.zeros((), dtype))
-    return jax.ops.segment_sum(ones, segment_ids, num_segments=num_segments)
+        ones = jnp.where(mask, ones, jnp.zeros((), jnp.float32))
+    return segment_sum(ones, segment_ids, num_segments).astype(dtype)
 
 
 def segment_mean(
@@ -222,7 +223,9 @@ def segment_logsumexp(
     expd = jnp.where(jnp.isnan(shifted), jnp.zeros((), data.dtype), jnp.exp(shifted))
     if mask is not None:
         expd = jnp.where(_expand_mask(mask, expd), expd, jnp.zeros((), data.dtype))
-    denom = jax.ops.segment_sum(expd, segment_ids, num_segments=num_segments)
+    # routed: few-segment denominators (decoder copy marginalization) take
+    # the one-hot matmul instead of scatter-add on TPU
+    denom = segment_sum(expd, segment_ids, num_segments)
     # Empty / all -inf segments: forward must be -inf, but log(0)'s backward
     # is inf * 0 = NaN; the double-where keeps gradients zero on that path.
     nonempty = denom > 0

@@ -208,8 +208,10 @@ class GruCopyingDecoder(Module):
         neg_inf = jnp.float32(-jnp.inf)
 
         valid_copy = jnp.logical_and(copy_matrix, memory_mask[:, None])  # [M, S-1]
+        # f32 so the few-segment one-hot matmul route applies (exact: counts
+        # are integers far below f32's 2^24 integer range).
         num_valid_copy = segment_sum(
-            valid_copy.astype(jnp.int32), input_memories_origin_idx, num_targets
+            valid_copy.astype(jnp.float32), input_memories_origin_idx, num_targets
         )  # [B, S-1]
         # UNK is only a correct generation when nothing can be copied
         # (grucopydecoder.py:170-186).
